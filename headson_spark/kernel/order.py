@@ -1,0 +1,261 @@
+"""Best-first priority ordering of document-tree nodes.
+
+Re-expression of the reference's `build_order` heap expansion
+(/root/reference/src/order/build.rs:377-470) with two engineering changes
+that preserve bit-exact pop order while bounding work by the budget:
+
+1. **Eager id assignment, lazy heap pushes.** The reference assigns PQ ids
+   to ALL children when their parent pops and pushes every child onto the
+   heap. We assign ids identically (so tie-breaks and the SAFETY_CAP
+   truncation point match exactly) but push only each parent's next-best
+   child — a k-way-merge: pop order over (score, id) is unchanged because
+   each parent's children are pushed in its own ascending (score, id)
+   order.
+2. **Budget-bounded popping.** The binary search over k only ever probes
+   k <= min(total, budget) (src/lib.rs:129-131), so by_priority beyond
+   position `budget` is never read; we stop popping there.
+
+Scores are exact Python ints (the reference uses u128; cubic array weights
+overflow u64 — SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from heapq import heappush, heappop
+
+from . import arena as ar
+from .graphemes import grapheme_breaks
+
+SAFETY_CAP = 2_000_000          # order/scoring.rs:3
+ROOT_BASE_SCORE = 1             # scoring.rs:6
+ARRAY_CHILD_BASE_INCREMENT = 1  # scoring.rs:9
+ARRAY_INDEX_CUBIC_WEIGHT = 1_000_000_000_000  # scoring.rs:12
+OBJECT_CHILD_BASE_INCREMENT = 1  # scoring.rs:15
+STRING_CHILD_BASE_INCREMENT = 1  # scoring.rs:18
+STRING_CHILD_LINEAR_WEIGHT = 1   # scoring.rs:20
+STRING_INDEX_INFLECTION = 20     # scoring.rs:23
+STRING_INDEX_QUADRATIC_WEIGHT = 1  # scoring.rs:26
+
+# ranked-node kinds (order/types.rs:60-87)
+K_ARRAY, K_OBJECT, K_STRING, K_ATOMIC, K_PART = 0, 1, 2, 3, 4
+
+
+@dataclass
+class PriorityOrder:
+    """Parallel arrays indexed by PQ id (order/types.rs:129-143)."""
+    kind: list[int] = field(default_factory=list)
+    key: list[str | None] = field(default_factory=list)      # key_in_object
+    value: list[str | None] = field(default_factory=list)    # string / token
+    parent: list[int] = field(default_factory=list)          # -1 = root
+    children: list[list[int] | None] = field(default_factory=list)
+    orig_index: list[int | None] = field(default_factory=list)
+    # metrics (order/types.rs:121-127); None until the node pops
+    total_len: list[int | None] = field(default_factory=list)
+    string_len: list[int | None] = field(default_factory=list)
+    string_truncated: list[bool] = field(default_factory=list)
+    # for strings: grapheme break offsets (cached for truncation renders)
+    breaks: list[list[int] | None] = field(default_factory=list)
+    # for strings: contiguous id block of LeafParts [part_start, part_start+n)
+    part_start: list[int] = field(default_factory=list)
+    part_count: list[int] = field(default_factory=list)
+    by_priority: list[int] = field(default_factory=list)     # pop order
+    total_nodes: int = 0
+    is_fileset: bool = False
+    root_object_len: int | None = None
+
+    def _push_node(self, kind, key, value, parent, orig_index):
+        self.kind.append(kind)
+        self.key.append(key)
+        self.value.append(value)
+        self.parent.append(parent)
+        self.children.append(None)
+        self.orig_index.append(orig_index)
+        self.total_len.append(None)
+        self.string_len.append(None)
+        self.string_truncated.append(False)
+        self.breaks.append(None)
+        self.part_start.append(-1)
+        self.part_count.append(0)
+        return len(self.kind) - 1
+
+
+_KIND_FROM_ARENA = {
+    ar.ARRAY: K_ARRAY,
+    ar.OBJECT: K_OBJECT,
+    ar.STRING: K_STRING,
+    ar.NULL: K_ATOMIC,
+    ar.BOOL: K_ATOMIC,
+    ar.NUMBER: K_ATOMIC,
+}
+
+
+def build_order(a: ar.Arena, max_string_graphemes: int,
+                prefer_tail_arrays: bool = False,
+                array_bias: str = "head_mid_tail",
+                max_pops: int | None = None) -> PriorityOrder:
+    """Heap expansion producing by_priority pop order.
+
+    max_pops bounds |by_priority| (see module docstring); pass None for the
+    reference's full expansion.
+    """
+    po = PriorityOrder()
+    po.is_fileset = a.is_fileset
+    nodes = a.nodes
+
+    # Heap entries: (score, pq_id, arena_id, source_list, source_pos)
+    # where source_list/source_pos identify the parent's lazy iterator so a
+    # popped child can trigger the push of its next sibling.
+    heap: list = []
+
+    # Per-parent lazy child streams:
+    #   structural parents: sorted [(score, pq_id, arena_id), ...] + cursor
+    #   string parents:     closed-form part scores generated on demand
+    next_id = 0
+
+    def assign(kind, key, value, parent, orig_index):
+        nonlocal next_id
+        pid = po._push_node(kind, key, value, parent, orig_index)
+        assert pid == next_id
+        next_id += 1
+        return pid
+
+    def push_stream_head(stream):
+        """Push the stream's current head entry onto the heap."""
+        lst, pos = stream
+        if pos < len(lst):
+            score, pq_id, arena_id = lst[pos]
+            heappush(heap, (score, pq_id, arena_id, stream))
+
+    # --- seed root (build.rs:392-437) ---
+    root_arena = nodes[a.root_id]
+    root_kind = _KIND_FROM_ARENA[root_arena.kind]
+    root_val = (root_arena.string_value if root_kind == K_STRING
+                else root_arena.token)
+    assign(root_kind, None, root_val, -1, None)
+    if root_kind == K_OBJECT:
+        po.root_object_len = (root_arena.object_len
+                              if root_arena.object_len is not None
+                              else len(root_arena.children))
+    root_stream = ([(ROOT_BASE_SCORE, 0, a.root_id)], 0)
+    push_stream_head(root_stream)
+
+    def expand_array(pq_id, an: ar.Node, parent_score):
+        nonlocal next_id
+        kept = len(an.children)
+        po.total_len[pq_id] = (an.array_len if an.array_len is not None
+                               else kept)
+        kids: list[int] = []
+        entries: list[tuple[int, int, int]] = []
+        for i in range(kept):
+            if next_id >= SAFETY_CAP:
+                break
+            child_arena_id = an.children[i]
+            cn = nodes[child_arena_id]
+            orig = an.arr_indices[i] if an.arr_indices else i
+            # array-child scoring (build.rs:130-150,156-213)
+            if prefer_tail_arrays:
+                ii = max(kept - 1 - i, 0)
+                extra = ii * ii * ii * ARRAY_INDEX_CUBIC_WEIGHT
+            elif array_bias == "head":
+                extra = i * i * i * ARRAY_INDEX_CUBIC_WEIGHT
+            else:  # head_mid_tail
+                mid = max(kept - 1, 0) // 2
+                d = min(i, (kept - 1) - i, abs(i - mid))
+                d = abs(d)
+                extra = d * d * d * ARRAY_INDEX_CUBIC_WEIGHT
+            score = parent_score + ARRAY_CHILD_BASE_INCREMENT + extra
+            ck = _KIND_FROM_ARENA[cn.kind]
+            cval = cn.string_value if ck == K_STRING else cn.token
+            cid = assign(ck, None, cval, pq_id, orig)
+            kids.append(cid)
+            entries.append((score, cid, child_arena_id))
+        po.children[pq_id] = kids
+        entries.sort()
+        push_stream_head((entries, 0))
+
+    def expand_object(pq_id, an: ar.Node, parent_score):
+        nonlocal next_id
+        keys = an.keys or []
+        po.total_len[pq_id] = (an.object_len if an.object_len is not None
+                               else len(keys))
+        # sort by (key, original key index) — build.rs:228-235
+        items = sorted(range(len(keys)), key=lambda i: (keys[i], i))
+        kids: list[int] = []
+        entries: list[tuple[int, int, int]] = []
+        score = parent_score + OBJECT_CHILD_BASE_INCREMENT
+        for i in items:
+            if next_id >= SAFETY_CAP:
+                break
+            child_arena_id = an.children[i]
+            cn = nodes[child_arena_id]
+            ck = _KIND_FROM_ARENA[cn.kind]
+            cval = cn.string_value if ck == K_STRING else cn.token
+            cid = assign(ck, keys[i], cval, pq_id, None)
+            kids.append(cid)
+            entries.append((score, cid, child_arena_id))
+        po.children[pq_id] = kids
+        # equal scores + ascending ids => already sorted
+        push_stream_head((entries, 0))
+
+    def expand_string(pq_id, parent_score):
+        nonlocal next_id
+        s = po.value[pq_id] or ""
+        brks = grapheme_breaks(s) if s else [0]
+        po.breaks[pq_id] = brks
+        n_actual = len(brks) - 1
+        count = min(n_actual, max_string_graphemes)
+        po.string_len[pq_id] = count
+        po.string_truncated[pq_id] = n_actual > count
+        if count == 0:
+            return
+        start = next_id
+        n = min(count, max(SAFETY_CAP - next_id, 0))
+        if n == 0:
+            return
+        po.part_start[pq_id] = start
+        po.part_count[pq_id] = n
+        # reserve the id block without materializing per-part rows
+        for i in range(n):
+            po._push_node(K_PART, None, None, pq_id, None)
+        next_id += n
+
+        def part_entries():
+            # scores (build.rs:291-331): parent + 1 + i + max(0,i-20)^2,
+            # strictly increasing in i => lazy list is sorted
+            out = []
+            for i in range(n):
+                extra = 0
+                if i > STRING_INDEX_INFLECTION:
+                    d = i - STRING_INDEX_INFLECTION
+                    extra = d * d * STRING_INDEX_QUADRATIC_WEIGHT
+                out.append((parent_score + STRING_CHILD_BASE_INCREMENT
+                            + i * STRING_CHILD_LINEAR_WEIGHT + extra,
+                            start + i, -1))
+            return out
+
+        push_stream_head((part_entries(), 0))
+
+    limit = max_pops if max_pops is not None else SAFETY_CAP
+    by_priority = po.by_priority
+    while heap and len(by_priority) < limit:
+        score, pq_id, arena_id, stream = heappop(heap)
+        # advance the parent's lazy stream
+        lst, pos = stream
+        if pos + 1 < len(lst):
+            nscore, nid_, naid = lst[pos + 1]
+            heappush(heap, (nscore, nid_, naid, (lst, pos + 1)))
+        by_priority.append(pq_id)
+        kind = po.kind[pq_id]
+        if kind == K_ARRAY:
+            expand_array(pq_id, nodes[arena_id], score)
+        elif kind == K_OBJECT:
+            expand_object(pq_id, nodes[arena_id], score)
+        elif kind == K_STRING:
+            expand_string(pq_id, score)
+        # K_ATOMIC / K_PART: no expansion
+        if next_id >= SAFETY_CAP:
+            break
+
+    po.total_nodes = next_id
+    return po

@@ -1,0 +1,370 @@
+"""Serialization templates + top-k marking + budget binary search.
+
+Re-expression of the reference's render path:
+- render set marking:  /root/reference/src/utils/graph.rs:41-61
+- recursive serialize: /root/reference/src/serialization/mod.rs:92-299,531-592
+- templates:           /root/reference/src/serialization/templates/{json,pseudo,js,text}.rs
+- fileset sections:    /root/reference/src/serialization/fileset.rs:21-106
+- budget search:       /root/reference/src/lib.rs:117-179, utils/search.rs:2-18
+
+Budgets are measured in BYTES of the rendered UTF-8 string (Rust
+`String::len`), not characters.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from .order import (PriorityOrder, K_ARRAY, K_OBJECT, K_STRING, K_ATOMIC,
+                    K_PART)
+
+OMISSION = "…"
+
+TEMPLATES = ("json", "pseudo", "js", "yaml", "text", "auto")
+STYLES = ("strict", "default", "detailed")
+
+_STYLE_TO_JSON_TEMPLATE = {
+    "strict": "json", "default": "pseudo", "detailed": "js"}
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    template: str = "pseudo"
+    style: str = "default"
+    indent_unit: str = "  "
+    space: str = " "
+    newline: str = "\n"
+    prefer_tail_arrays: bool = False
+
+
+def json_string(s: str) -> str:
+    """JSON string literal, serde_json-compatible (utils/json.rs:4-11)."""
+    return json.dumps(s, ensure_ascii=False)
+
+
+def mark_top_k(po: PriorityOrder, k: int) -> tuple[set[int], dict[int, int]]:
+    """Include first k of by_priority plus all ancestors (graph.rs:41-61).
+
+    Returns (marked ids, kept LeafPart count per string id).
+    """
+    marked: set[int] = set()
+    kept_parts: dict[int, int] = {}
+    parent = po.parent
+    kind = po.kind
+    for pq_id in po.by_priority[:k]:
+        if pq_id in marked:
+            continue
+        marked.add(pq_id)
+        if kind[pq_id] == K_PART:
+            p = parent[pq_id]
+            kept_parts[p] = kept_parts.get(p, 0) + 1
+        cur = parent[pq_id]
+        while cur >= 0 and cur not in marked:
+            marked.add(cur)
+            cur = parent[cur]
+    return marked, kept_parts
+
+
+class _Renderer:
+    def __init__(self, po: PriorityOrder, cfg: RenderConfig,
+                 marked: set[int], kept_parts: dict[int, int]):
+        self.po = po
+        self.cfg = cfg
+        self.marked = marked
+        self.kept_parts = kept_parts
+
+    # ---- string / atomic leaves ----
+
+    def _string_omitted(self, pq_id: int, kept: int) -> int:
+        po = self.po
+        orig = po.string_len[pq_id]
+        if orig is not None:
+            if orig > kept:
+                return orig - kept
+            if po.string_truncated[pq_id]:
+                return 1
+            return 0
+        return 1 if po.string_truncated[pq_id] else 0
+
+    def _take_graphemes(self, pq_id: int, n: int) -> str:
+        s = self.po.value[pq_id] or ""
+        brks = self.po.breaks[pq_id]
+        if brks is None or n >= len(brks) - 1:
+            return s
+        return s[: brks[max(n, 0)]]
+
+    def serialize_string(self, pq_id: int, template: str) -> str:
+        kept = self.kept_parts.get(pq_id, 0)
+        omitted = self._string_omitted(pq_id, kept)
+        full = self.po.value[pq_id] or ""
+        if template == "text":
+            if omitted == 0:
+                return full
+            return self._take_graphemes(pq_id, kept) + OMISSION
+        if omitted == 0:
+            return json_string(full)
+        return json_string(self._take_graphemes(pq_id, kept) + OMISSION)
+
+    # ---- structural helpers ----
+
+    def _included_children(self, pq_id: int) -> list[int]:
+        kids = self.po.children[pq_id]
+        if not kids:
+            return []
+        m = self.marked
+        return [c for c in kids if c in m]
+
+    def _omitted_for(self, pq_id: int, kept: int) -> int:
+        total = self.po.total_len[pq_id]
+        if total is not None and total > kept:
+            return total - kept
+        return 0
+
+    # ---- array rendering ----
+
+    def render_array(self, pq_id: int, depth: int, inline: bool,
+                     template: str) -> str:
+        cfg = self.cfg
+        inc = self._included_children(pq_id)
+        kept = len(inc)
+        omitted = self._omitted_for(pq_id, kept)
+        children = []
+        for c in inc:
+            rendered = self.render_node(c, depth + 1, False, template)
+            oi = self.po.orig_index[c]
+            children.append((oi if oi is not None else 0,
+                             self.po.kind[c], rendered))
+        if template == "text":
+            return self._render_array_text(children, omitted)
+        if template in ("pseudo", "auto"):
+            return self._render_array_marked(
+                children, kept, omitted, depth, inline,
+                gap_marker=lambda gap: OMISSION,
+                omit_marker=lambda n: OMISSION)
+        if template == "js":
+            return self._render_array_marked(
+                children, kept, omitted, depth, inline,
+                gap_marker=lambda gap: f"/* {gap} more items */",
+                omit_marker=lambda n: f"/* {n} more items */")
+        # strict json: no markers
+        return self._render_array_marked(
+            children, kept, omitted, depth, inline, None, None)
+
+    def _render_array_text(self, children, omitted: int) -> str:
+        cfg = self.cfg
+        out = []
+
+        def omission_line():
+            if cfg.style == "strict":
+                return
+            if cfg.style == "default":
+                out.append(OMISSION)
+                out.append(cfg.newline)
+            else:
+                out.append(f"{OMISSION} {omitted} more lines {OMISSION}")
+                out.append(cfg.newline)
+
+        if cfg.prefer_tail_arrays and omitted > 0:
+            omission_line()
+        for _, _, item in children:
+            out.append(item)
+            out.append(cfg.newline)
+        if not cfg.prefer_tail_arrays and omitted > 0:
+            omission_line()
+        return "".join(out)
+
+    def _render_array_marked(self, children, kept, omitted, depth, inline,
+                             gap_marker, omit_marker) -> str:
+        cfg = self.cfg
+        ind = cfg.indent_unit
+        nl = cfg.newline
+        out = []
+        if kept == 0:
+            if not inline:
+                out.append(ind * depth)
+            if omit_marker is not None and omitted > 0:
+                out.append("[ " + omit_marker(omitted) + " ]")
+            else:
+                out.append("[]")
+            return "".join(out)
+        if not inline:
+            out.append(ind * depth)
+        out.append("[")
+        out.append(nl)
+
+        def push_omitted():
+            if omit_marker is not None and omitted > 0:
+                out.append(ind * (depth + 1))
+                out.append(omit_marker(omitted))
+                if kept > 0 and cfg.prefer_tail_arrays:
+                    out.append(",")
+                out.append(nl)
+
+        if cfg.prefer_tail_arrays:
+            push_omitted()
+        prev_index = None
+        for i, (orig_index, ckind, item) in enumerate(children):
+            if (gap_marker is not None and prev_index is not None
+                    and orig_index > prev_index + 1):
+                out.append(ind * (depth + 1))
+                out.append(gap_marker(orig_index - prev_index - 1))
+                out.append(nl)
+            if "\n" in item or "\r" in item:
+                out.append(item)
+            elif ckind in (K_ARRAY, K_OBJECT):
+                out.append(item)
+            else:
+                out.append(ind * (depth + 1))
+                out.append(item)
+            if i + 1 < kept:
+                out.append(",")
+            out.append(nl)
+            prev_index = orig_index
+        if not cfg.prefer_tail_arrays:
+            push_omitted()
+        out.append(ind * depth)
+        out.append("]")
+        return "".join(out)
+
+    # ---- object rendering ----
+
+    def render_object(self, pq_id: int, depth: int, inline: bool,
+                      template: str) -> str:
+        cfg = self.cfg
+        if pq_id == 0 and self.po.is_fileset and cfg.newline != "":
+            return self.render_fileset_sections(depth)
+        # Auto resolves by style for objects (serialization/mod.rs:139-152)
+        if template == "auto":
+            template = _STYLE_TO_JSON_TEMPLATE[cfg.style]
+        if template == "text":
+            template = "pseudo"  # templates/text.rs:36-43 delegates
+        inc = self._included_children(pq_id)
+        kept = len(inc)
+        omitted = self._omitted_for(pq_id, kept)
+        fileset_root = pq_id == 0 and self.po.is_fileset
+        label = "files" if fileset_root else "properties"
+        ind = cfg.indent_unit
+        nl = cfg.newline
+        out = []
+        if kept == 0:
+            if not inline:
+                out.append(ind * depth)
+            if template == "pseudo" and omitted > 0:
+                out.append("{" + cfg.space + OMISSION + cfg.space + "}")
+            elif template == "js" and omitted > 0:
+                out.append("{" + cfg.space
+                           + f"/* {omitted} more {label} */"
+                           + cfg.space + "}")
+            else:
+                out.append("{}")
+            return "".join(out)
+        if not inline:
+            out.append(ind * depth)
+        out.append("{")
+        out.append(nl)
+        for i, c in enumerate(inc):
+            out.append(ind * (depth + 1))
+            out.append(json_string(self.po.key[c] or ""))
+            out.append(":")
+            out.append(cfg.space)
+            out.append(self.render_node(c, depth + 1, True, template))
+            if i + 1 < kept:
+                out.append(",")
+            out.append(nl)
+        if omitted > 0:
+            if template == "pseudo":
+                out.append(ind * (depth + 1))
+                out.append(OMISSION)
+                out.append(nl)
+            elif template == "js":
+                out.append(ind * (depth + 1))
+                out.append(f"/* {omitted} more {label} */")
+                out.append(nl)
+        out.append(ind * depth)
+        out.append("}")
+        return "".join(out)
+
+    # ---- fileset sections (fileset.rs:21-106) ----
+
+    def render_fileset_sections(self, depth: int) -> str:
+        cfg = self.cfg
+        po = self.po
+        out = []
+        kids = po.children[0] or []
+        kept = 0
+        for c in kids:
+            if c not in self.marked:
+                continue
+            if kept > 0:
+                out.append(cfg.newline)
+                out.append(cfg.newline)
+            kept += 1
+            key = po.key[c] or ""
+            out.append(cfg.indent_unit * depth)
+            out.append(f"==> {key} <==")
+            out.append(cfg.newline)
+            tmpl = self._fileset_child_template(key)
+            out.append(self.render_node(c, depth, False, tmpl))
+        total = po.total_len[0]
+        if total is None:
+            total = len(kids)
+        if total > kept and cfg.newline != "":
+            out.append(cfg.newline)
+            out.append(cfg.newline)
+            out.append(cfg.indent_unit * depth)
+            out.append(f"==> {total - kept} more files <==")
+        return "".join(out)
+
+    def _fileset_child_template(self, name: str) -> str:
+        if self.cfg.template != "auto":
+            return self.cfg.template
+        lower = name.lower()
+        if lower.endswith((".yaml", ".yml")):
+            return "yaml"
+        if lower.endswith(".json"):
+            return _STYLE_TO_JSON_TEMPLATE[self.cfg.style]
+        return "text"
+
+    # ---- dispatch ----
+
+    def render_node(self, pq_id: int, depth: int, inline: bool,
+                    template: str) -> str:
+        kind = self.po.kind[pq_id]
+        if kind == K_ARRAY:
+            return self.render_array(pq_id, depth, inline, template)
+        if kind == K_OBJECT:
+            return self.render_object(pq_id, depth, inline, template)
+        if kind == K_STRING:
+            return self.serialize_string(pq_id, template)
+        if kind == K_ATOMIC:
+            return self.po.value[pq_id] or ""
+        raise AssertionError("LeafPart should never be rendered")
+
+
+def render_top_k(po: PriorityOrder, k: int, cfg: RenderConfig) -> str:
+    marked, kept_parts = mark_top_k(po, min(k, len(po.by_priority)))
+    r = _Renderer(po, cfg, marked, kept_parts)
+    return r.render_node(0, 0, False, cfg.template)
+
+
+def find_largest_render_under_budget(po: PriorityOrder, cfg: RenderConfig,
+                                     budget: int) -> str:
+    """Binary-search max k whose rendered BYTE length fits (lib.rs:117-179)."""
+    total = po.total_nodes
+    if total == 0:
+        return ""
+    lo, hi = 1, min(total, max(budget, 1))
+    best_k = None
+    best_render = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        s = render_top_k(po, mid, cfg)
+        if len(s.encode("utf-8")) <= budget:
+            best_k, best_render = mid, s
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    if best_render is not None:
+        return best_render
+    return render_top_k(po, 1, cfg)
