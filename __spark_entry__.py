@@ -1,38 +1,523 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship conversation-preview query on sf0.001.
+`queries()` exposes every implemented operator from SURVEY.md §2 plus the
+training-data operators; `oracle_sql()` gives the DuckDB-equivalent ANSI
+SQL for every SQL-expressible query (kernel-only ops — priority ordering,
+budget search, rendering — get rows-only checks).
+
+Transcript-shaped inputs are derived from the shared `events` table
+(conv = user_id, turn = event ordinal by ts) so both engines read the same
+parquet. All aggregates are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from headson_spark.operators import dedup, sampling, similarity, text_stats
+from headson_spark.operators.multimodal import extract_features, synth_media
+from headson_spark.operators.preview import conversation_previews
+from headson_spark.sources.transcripts import transcripts_from_events
+from headson_spark.kernel.arena import mix64
+
+# ---------------------------------------------------------------------------
+# shared constants (must match between Spark exprs and DuckDB SQL)
+
+CAP = 8
+HEAD_TAIL_CAP = 5
+SHINGLE_K = 5    # char shingles (jaccard verification)
+MINHASH_W = 3    # word shingles (minhash/LSH)
+N_HASHES = 8
+BANDS = 4
+SIMHASH_BITS = 16
+ANN_K = 10
+LSH_PLANES = 6
+EMB_DIM = 64
+
+QUERY_VEC = [round((mix64(1000 + i) % 2_000_000) / 1_000_000.0 - 1.0, 6)
+             for i in range(EMB_DIM)]
+
+DEFAULT_KEPT = sampling.default_kept_positions(CAP, 100_000)
+# positions are prefix-closed; embed only the plausible range in SQL
+DEFAULT_KEPT_SQL = ",".join(str(i) for i in DEFAULT_KEPT)
+
+_TRANSCRIPT_SQL = """
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) - 1 AS INT)
+               AS turn_idx,
+           event_type AS role, props AS text, '' AS tool, ts
+    FROM events
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark, sf_dir)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: budgeted per-conversation previews at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    return conversation_previews(_t(spark, sf_dir), budget=500,
+                                 style="default")
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- transcript assembly + windows (SURVEY §2.6) ---
+    def conv_assemble(spark, sf_dir):
+        return (_t(spark, sf_dir)
+                .groupBy("conv_id")
+                .agg(F.count("*").cast("bigint").alias("n_turns"),
+                     F.max("turn_idx").cast("int").alias("max_turn"),
+                     F.sum(F.length("text")).cast("bigint")
+                      .alias("n_chars")))
+    q["conv_assemble"] = conv_assemble
+
+    def head_cap(spark, sf_dir):
+        return (sampling.head_cap(_t(spark, sf_dir), HEAD_TAIL_CAP)
+                .select("conv_id", "turn_idx", "turn_ord"))
+    q["head_cap"] = head_cap
+
+    def tail_cap(spark, sf_dir):
+        return (sampling.tail_cap(_t(spark, sf_dir), HEAD_TAIL_CAP)
+                .select("conv_id", "turn_idx"))
+    q["tail_cap"] = tail_cap
+
+    def default_sample(spark, sf_dir):
+        return (sampling.default_cap(_t(spark, sf_dir), CAP)
+                .select("conv_id", "turn_idx", "turn_ord"))
+    q["default_sample"] = default_sample
+
+    def omission_counts(spark, sf_dir):
+        return (_t(spark, sf_dir).groupBy("conv_id")
+                .agg(F.count("*").alias("total"))
+                .select("conv_id",
+                        F.least(F.col("total"), F.lit(CAP))
+                         .cast("bigint").alias("kept"),
+                        F.greatest(F.col("total") - CAP, F.lit(0))
+                         .cast("bigint").alias("omitted")))
+    q["omission_counts"] = omission_counts
+
+    def dedup_lww(spark, sf_dir):
+        from pyspark.sql import Window
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id"))
+        return (ev.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select("user_id", "event_type", "event_id",
+                          F.round("value", 4).alias("value")))
+    q["dedup_lww"] = dedup_lww
+
+    # --- kernel queries (rows-only checks: not SQL-expressible) ---
+    def conv_preview(spark, sf_dir):
+        return conversation_previews(_t(spark, sf_dir), budget=500,
+                                     style="default")
+    q["conv_preview"] = conv_preview
+
+    def conv_preview_strict(spark, sf_dir):
+        return conversation_previews(_t(spark, sf_dir), budget=300,
+                                     style="strict")
+    q["conv_preview_strict"] = conv_preview_strict
+
+    def conv_preview_tail(spark, sf_dir):
+        return conversation_previews(_t(spark, sf_dir), budget=400,
+                                     style="detailed", skew="tail")
+    q["conv_preview_tail"] = conv_preview_tail
+
+    # --- relational core: agg / join / window / set ops ---
+    def agg_pricing(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (li.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     F.round(F.sum("l_extendedprice"), 2)
+                      .alias("sum_base_price"),
+                     F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2)
+                      .alias("sum_disc_price"),
+                     F.count("*").cast("bigint").alias("count_order")))
+    q["agg_pricing"] = agg_pricing
+
+    def join_top_customers(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return (o.join(F.broadcast(c),
+                       o.o_custkey == c.c_custkey)
+                .groupBy("c_custkey", "c_name")
+                .agg(F.count("*").cast("bigint").alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+                .orderBy(F.desc("n_orders"), F.desc("total_spent"),
+                         F.col("c_custkey"))
+                .limit(10))
+    q["join_top_customers"] = join_top_customers
+
+    def window_latest_order(spark, sf_dir):
+        from pyspark.sql import Window
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey"))
+        return (o.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("o_custkey", "o_orderkey",
+                        F.round("o_totalprice", 2).alias("o_totalprice")))
+    q["window_latest_order"] = window_latest_order
+
+    def set_ops(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        with_orders = (c.select("c_custkey")
+                       .intersect(o.select(F.col("o_custkey")
+                                           .alias("c_custkey"))))
+        without = c.select("c_custkey").distinct().exceptAll(with_orders)
+        return (with_orders.agg(F.count("*").cast("bigint")
+                                .alias("with_orders"))
+                .crossJoin(without.agg(F.count("*").cast("bigint")
+                                       .alias("without_orders"))))
+    q["set_ops"] = set_ops
+
+    # --- dedup family (documents) ---
+    def dedup_exact(spark, sf_dir):
+        return dedup.exact_duplicate_groups(_docs(spark, sf_dir))
+    q["dedup_exact"] = dedup_exact
+
+    def minhash_sig(spark, sf_dir):
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 64)
+        return dedup.minhash_signatures(d, n_hashes=4, shingle_k=MINHASH_W)
+    q["minhash_sig"] = minhash_sig
+
+    def lsh_pairs(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return dedup.lsh_candidate_pairs(d, n_hashes=N_HASHES, bands=BANDS,
+                                         shingle_k=MINHASH_W)
+    q["lsh_pairs"] = lsh_pairs
+
+    def ngram_jaccard(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        pairs = d.select(F.col("doc_id").alias("id_a"),
+                         (F.col("doc_id") + 1).alias("id_b")) \
+                 .filter(F.col("id_a") % 7 == 0)
+        return dedup.ngram_jaccard_pairs(d, pairs, shingle_k=SHINGLE_K)
+    q["ngram_jaccard"] = ngram_jaccard
+
+    def simhash16(spark, sf_dir):
+        return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+    q["simhash16"] = simhash16
+
+    # --- text analysis (documents) ---
+    def token_counts(spark, sf_dir):
+        return text_stats.token_counts(_docs(spark, sf_dir))
+    q["token_counts"] = token_counts
+
+    def lang_id(spark, sf_dir):
+        return text_stats.language_id(_docs(spark, sf_dir))
+    q["lang_id"] = lang_id
+
+    def quality(spark, sf_dir):
+        return text_stats.quality_scores(_docs(spark, sf_dir))
+    q["quality"] = quality
+
+    def fingerprint(spark, sf_dir):
+        return text_stats.fingerprints(_docs(spark, sf_dir))
+    q["fingerprint"] = fingerprint
+
+    # --- similarity search (embeddings) ---
+    def ann_cosine_topk(spark, sf_dir):
+        return similarity.brute_force_cosine_topk(
+            _emb(spark, sf_dir), QUERY_VEC, k=ANN_K)
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def ann_lsh_buckets(spark, sf_dir):
+        return similarity.lsh_buckets(_emb(spark, sf_dir), dim=EMB_DIM,
+                                      n_planes=LSH_PLANES)
+    q["ann_lsh_buckets"] = ann_lsh_buckets
+
+    # --- multimodal plumbing (stub decode; rows-only check) ---
+    def multimodal_features(spark, sf_dir):
+        media = synth_media(_docs(spark, sf_dir), "doc_id", "text")
+        return extract_features(media, dim=8).drop("feat")
+    q["multimodal_features"] = multimodal_features
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views: region nation customer supplier part
+# orders lineitem events documents embeddings)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from headson_spark.operators.dedup import (MINHASH_P, minhash_params)
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x != '')")
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    shingles = (f"list_distinct([substr({norm}, i, {SHINGLE_K}) "
+                f"for i in range(1, greatest(length({norm}) - "
+                f"{SHINGLE_K - 1}, 1) + 1)])")
+    word_sh = (f"list_distinct([array_to_string(list_slice({toks}, i, "
+               f"i + {MINHASH_W - 1}), ' ') for i in range(1, "
+               f"greatest(len({toks}) - {MINHASH_W - 1}, 1) + 1)])")
+    sh_ints = (f"list_transform({word_sh}, s -> "
+               f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) "
+               f"% {MINHASH_P})")
+    _params = minhash_params(N_HASHES)
+
+    def minhash(j):
+        a, b = _params[j]
+        return (f"list_aggregate(list_transform({sh_ints}, "
+                f"x -> (x * {a} + {b}) % {MINHASH_P}), 'min')")
+
+    qv = "[" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in QUERY_VEC) + "]"
+    qnorm = sum(float(x) * x for x in QUERY_VEC) ** 0.5
+
+    sql: dict[str, str] = {}
+
+    sql["conv_assemble"] = f"""
+        WITH t AS ({_TRANSCRIPT_SQL})
+        SELECT conv_id, COUNT(*) AS n_turns,
+               MAX(turn_idx) AS max_turn,
+               SUM(LENGTH(text)) AS n_chars
+        FROM t GROUP BY conv_id
     """
-    return {}
+
+    sql["head_cap"] = f"""
+        WITH t AS ({_TRANSCRIPT_SQL})
+        SELECT conv_id, turn_idx, turn_idx AS turn_ord
+        FROM t WHERE turn_idx < {HEAD_TAIL_CAP}
+    """
+
+    sql["tail_cap"] = f"""
+        WITH t AS ({_TRANSCRIPT_SQL}),
+        n AS (SELECT conv_id, COUNT(*) AS total FROM t GROUP BY conv_id)
+        SELECT t.conv_id, t.turn_idx
+        FROM t JOIN n ON t.conv_id = n.conv_id
+        WHERE t.turn_idx >= n.total - {HEAD_TAIL_CAP}
+    """
+
+    sql["default_sample"] = f"""
+        WITH t AS ({_TRANSCRIPT_SQL})
+        SELECT conv_id, turn_idx, turn_idx AS turn_ord
+        FROM t WHERE turn_idx IN ({DEFAULT_KEPT_SQL})
+    """
+
+    sql["omission_counts"] = f"""
+        WITH t AS ({_TRANSCRIPT_SQL})
+        SELECT conv_id,
+               LEAST(COUNT(*), {CAP}) AS kept,
+               GREATEST(COUNT(*) - {CAP}, 0) AS omitted
+        FROM t GROUP BY conv_id
+    """
+
+    sql["dedup_lww"] = """
+        SELECT user_id, event_type, event_id, ROUND(value, 4) AS value
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+    """
+
+    sql["agg_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["join_top_customers"] = """
+        SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_spent
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY n_orders DESC, total_spent DESC, c_custkey
+        LIMIT 10
+    """
+
+    sql["window_latest_order"] = """
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+    """
+
+    sql["set_ops"] = """
+        WITH w AS (SELECT DISTINCT c_custkey FROM customer
+                   INTERSECT SELECT DISTINCT o_custkey FROM orders)
+        SELECT (SELECT COUNT(*) FROM w) AS with_orders,
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT c_custkey FROM customer
+                    EXCEPT SELECT c_custkey FROM w)) AS without_orders
+    """
+
+    sql["dedup_exact"] = f"""
+        SELECT md5({norm}) AS content_hash, COUNT(*) AS n_docs,
+               MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """
+
+    sql["minhash_sig"] = f"""
+        SELECT doc_id, {minhash(0)} AS mh0, {minhash(1)} AS mh1,
+               {minhash(2)} AS mh2, {minhash(3)} AS mh3
+        FROM documents WHERE doc_id < 64
+    """
+
+    rows = N_HASHES // BANDS
+    band_exprs = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"CAST(({minhash(b * rows + r)}) AS VARCHAR)"
+            for r in range(rows))
+        band_exprs.append(f"md5({parts}) AS band{b}")
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM sig"
+        for b in range(BANDS))
+    sql["lsh_pairs"] = f"""
+        WITH sig AS (SELECT doc_id, {', '.join(band_exprs)} FROM documents),
+        stacked AS ({band_union})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM stacked a JOIN stacked b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+    """
+
+    sql["ngram_jaccard"] = f"""
+        WITH sh AS (SELECT doc_id, {shingles} AS sh FROM documents),
+        pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+                  WHERE doc_id % 7 = 0)
+        SELECT p.id_a, p.id_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                   AS jaccard
+        FROM pairs p JOIN sh a ON p.id_a = a.doc_id
+                     JOIN sh b ON p.id_b = b.doc_id
+    """
+
+    sql["simhash16"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({toks}) AS tok FROM documents),
+        votes AS (
+            SELECT doc_id, p.range AS p,
+                   SUM(CASE WHEN ((strpos('0123456789abcdef',
+                            substr(md5(tok), CAST(p.range // 4 AS INT) + 1,
+                                   1)) - 1)
+                        >> (3 - CAST(p.range % 4 AS INT))) & 1 = 1
+                       THEN 1 ELSE -1 END) AS v
+            FROM toks, range({SIMHASH_BITS}) p GROUP BY 1, 2),
+        packed AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN 1 << CAST(p AS INT)
+                       ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(p.simhash, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+    """
+
+    sql["token_counts"] = f"""
+        SELECT doc_id, len({toks}) AS n_tokens,
+               COALESCE(list_sum(list_transform({toks},
+                   t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0)
+                   AS n_subwords
+        FROM documents
+    """
+
+    def hits(lang):
+        from headson_spark.operators.text_stats import STOPWORDS
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (f"len(list_filter({toks}, "
+                f"x -> list_contains([{words}], x)))")
+
+    from headson_spark.operators.text_stats import LANGS, STOPWORDS
+    hit_sel = ", ".join(f"{hits(lg)} AS hits_{lg}" for lg in LANGS)
+    best = "GREATEST(" + ", ".join(f"hits_{lg}" for lg in LANGS) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in LANGS) + " END"
+    sql["lang_id"] = f"""
+        WITH h AS (SELECT doc_id, {hit_sel} FROM documents)
+        SELECT doc_id, {lang_case} AS lang_pred,
+               {best} AS stopword_hits
+        FROM h
+    """
+
+    all_stops = ",".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
+    sql["quality"] = f"""
+        SELECT doc_id,
+               ROUND(0.5 * (LENGTH(regexp_replace(text, '[^A-Za-z]', '',
+                                                  'g'))
+                            / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+                   + 0.3 * (len(list_filter({toks},
+                                x -> list_contains([{all_stops}], x)))
+                            / CAST(GREATEST(len({toks}), 1) AS DOUBLE))
+                   + 0.2 * LEAST(LENGTH(text) / 500.0, 1.0), 4) AS quality
+        FROM documents
+    """
+
+    sql["fingerprint"] = f"""
+        SELECT doc_id, md5({norm}) AS fingerprint,
+               LENGTH({norm}) AS norm_len
+        FROM documents
+    """
+
+    sql["ann_cosine_topk"] = f"""
+        WITH scored AS (
+            SELECT vec_id,
+                   ROUND(list_reduce(list_transform(
+                             list_zip(embedding, {qv}),
+                             x -> CAST(x[1] AS DOUBLE) * x[2]),
+                             (a, b) -> a + b)
+                         / (sqrt(list_reduce(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                               (a, b) -> a + b)) * {qnorm!r}), 4) AS cosine
+            FROM embeddings)
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
+    """
+
+    planes = similarity.hyperplanes(EMB_DIM, LSH_PLANES)
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in plane) \
+            + "]"
+        dot = (f"list_reduce(list_transform(list_zip(embedding, {arr}), "
+               f"x -> CAST(x[1] AS DOUBLE) * x[2]), (a, b) -> a + b)")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    sql["ann_lsh_buckets"] = f"""
+        SELECT vec_id, CAST({' + '.join(terms)} AS BIGINT) AS bucket
+        FROM embeddings
+    """
+
+    return sql
+
+
+if __name__ == "__main__":
+    from headson_spark.session import get_spark
+    spark = get_spark("entry-smoke")
+    df = entry(spark)
+    df.show(5, truncate=60)
+    print("rows:", df.count())

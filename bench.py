@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline is the flagship streaming-preview workload in batch form:
+budgeted previews over ~1M synthesized transcript turns (FIXTURES.md
+scale), reported both as seconds and turns/sec (the BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "1000000"))
+
+
+def main():
+    from headson_spark.session import get_spark
+    from headson_spark.operators.preview import conversation_previews
+    from headson_spark.sources.transcripts import ensure_transcripts
+    import __spark_entry__ as entrymod
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in SF_DIR else 0.1
+
+    spark = get_spark("headson_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("WARN")
+
+    timings: dict[str, float] = {}
+
+    # headline: transcript preview throughput
+    tpath = ensure_transcripts(sf=sf, bulk_turns=max(BENCH_TURNS, 0))
+    tdf = spark.read.parquet(tpath)
+    n_turns = tdf.count()
+    # warm-up (JIT + python workers) on a small slice
+    conversation_previews(
+        tdf.filter("conv_id like 'cplain_0000%'"), budget=500).count()
+    t0 = time.time()
+    n_convs = conversation_previews(tdf, budget=500).count()
+    preview_sec = time.time() - t0
+    timings["conv_preview_1m"] = round(preview_sec, 3)
+
+    # operator queries at SF_DIR
+    queries = entrymod.queries()
+    for name in ["conv_assemble", "dedup_lww", "agg_pricing",
+                 "join_top_customers", "window_latest_order",
+                 "dedup_exact", "simhash16", "token_counts", "lang_id",
+                 "quality", "fingerprint", "ann_cosine_topk",
+                 "ann_lsh_buckets", "lsh_pairs", "default_sample"]:
+        t0 = time.time()
+        queries[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns_per_sec": round(n_turns / preview_sec, 1),
+        "bench_turns": n_turns,
+        "bench_conversations": n_convs,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -237,6 +237,39 @@ def build_text_arena(text: str | bytes, array_cap: int,
     return a
 
 
+def build_conversation_arena(roles, texts, tools, array_cap: int,
+                             sampler: str = "balanced") -> Arena:
+    """Fast path for the canonical transcript document
+    {"turns": [{"role","text","tool"}, ...]} (FIXTURES.md §2): the turns
+    array is sampled BEFORE any per-turn node is built, so a 50k-turn
+    conversation only materializes `array_cap` turn objects. Produces the
+    identical arena to build_value_arena on the full document."""
+    a = Arena()
+    total = len(roles)
+    idxs = sample_indices(sampler, array_cap, total)
+    arr_node = Node(kind=ARRAY, array_len=total)
+    # arena node ids don't affect output ordering (pq ids do), so layout
+    # here may differ from the recursive builder's — only structure matters
+    arr_id = a.push(arr_node)
+    children = []
+    for i in idxs:
+        t = Node(kind=OBJECT, keys=["role", "text", "tool"], object_len=3)
+        tid = a.push(t)
+        t.children = [
+            a.push(Node(kind=STRING, string_value=roles[i])),
+            a.push(Node(kind=STRING, string_value=texts[i])),
+            a.push(Node(kind=STRING, string_value=tools[i])),
+        ]
+        children.append(tid)
+    arr_node.children = children
+    arr_node.arr_indices = (None if idxs == list(range(len(idxs)))
+                            else idxs)
+    root = Node(kind=OBJECT, keys=["turns"], children=[arr_id],
+                object_len=1)
+    a.root_id = a.push(root)
+    return a
+
+
 def build_fileset_arena(inputs: list[tuple[str, object]], array_cap: int,
                         sampler: str = "balanced",
                         ingest: str = "json") -> Arena:

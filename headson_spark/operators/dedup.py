@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side column expressions (md5 / transform / aggregate
+inside whole-stage codegen) — no Python UDFs. Hash functions are md5-based
+so the DuckDB oracle can evaluate bit-identical logic.
+
+Scale notes (100 TB):
+- exact dedup is one hash-shuffle on a 32-byte digest (map-side partial agg)
+- MinHash/LSH replaces the quadratic all-pairs comparison with a band-bucket
+  self-join; bucket sizes are bounded in practice, and AQE skew-join splits
+  pathological buckets
+- SimHash is a doc-local aggregate (zero shuffle until the grouping)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalized(col: str = "text"):
+    """Lowercase, collapse non-alphanumerics — shared by dedup + stats."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " "))
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents (after normalization)."""
+    h = F.md5(normalized(text_col)).alias("content_hash")
+    return (df.select(h, F.col(id_col))
+              .groupBy("content_hash")
+              .agg(F.count("*").alias("n_docs"),
+                   F.min(id_col).alias("keep_id"))
+              .filter(F.col("n_docs") > 1))
+
+
+def _shingles_expr(text_col: str, k: int) -> str:
+    """Distinct character k-shingles of the normalized text (SQL expr)."""
+    norm = (f"trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' '))")
+    return (f"array_distinct(transform("
+            f"sequence(1, greatest(length({norm}) - {k - 1}, 1)), "
+            f"i -> substring({norm}, i, {k})))")
+
+
+def _word_shingles_expr(text_col: str, w: int) -> str:
+    """Distinct w-word shingles — the standard document MinHash unit
+    (~10x fewer shingles than char shingles at the same recall)."""
+    toks = (f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+            f"x -> x != '')")
+    return (f"array_distinct(transform("
+            f"sequence(1, greatest(size({toks}) - {w - 1}, 1)), "
+            f"i -> array_join(slice({toks}, i, {w}), ' ')))")
+
+
+# 2^31 - 1: keeps (x % P) * a + b < 2^62, safe under ANSI bigint overflow
+MINHASH_P = 2147483647
+
+
+def minhash_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    from ..kernel.arena import mix64
+    return [(mix64((seed << 20) ^ (2 * j)) % (MINHASH_P - 1) + 1,
+             mix64((seed << 20) ^ (2 * j + 1)) % MINHASH_P)
+            for j in range(n_hashes)]
+
+
+def _shingle_int_expr(shingles: str) -> str:
+    """One md5 per shingle -> 60-bit integer; the (a*x+b) mod P family
+    derives every hash from this single digest."""
+    return (f"transform({shingles}, s -> "
+            f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) "
+            f"% {MINHASH_P})")
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 12,
+                       shingle_k: int = 3) -> DataFrame:
+    """MinHash signature per document: sig_j = min over shingles of
+    (a_j * x + b_j) mod P, x = md5-derived shingle integer. One md5 per
+    shingle total (not per hash function) — the dominant cost at scale.
+
+    Staged through intermediate columns so tokenization / shingling / md5
+    evaluate once per row instead of once per lambda reference.
+    """
+    staged = (df
+              .select(F.col(id_col), F.col(text_col))
+              .withColumn("_toks", F.expr(
+                  f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+                  f"x -> x != '')"))
+              .withColumn("_sh", F.expr(
+                  f"array_distinct(transform(sequence(1, "
+                  f"greatest(size(_toks) - {shingle_k - 1}, 1)), "
+                  f"i -> array_join(slice(_toks, i, {shingle_k}), ' ')))"))
+              .withColumn("_xs", F.expr(_shingle_int_expr("_sh"))))
+    cols = [F.col(id_col)]
+    for j, (a, b) in enumerate(minhash_params(n_hashes)):
+        cols.append(F.expr(
+            f"array_min(transform(_xs, x -> "
+            f"(x * {a}L + {b}L) % {MINHASH_P}))").alias(f"mh{j}"))
+    return staged.select(*cols)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 12,
+                        bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding: documents agree
+    on any band of rows => candidate pair. One self-join keyed by
+    (band_idx, band_hash) — the scale-path replacement for all-pairs."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    band_cols = []
+    for b in range(bands):
+        parts = [f"mh{b * rows + r}" for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.col(f"band{b}").alias("band_hash"))
+            for b in range(bands)])).alias("bb")
+    ).select(id_col, "bb.band_idx", "bb.band_hash")
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    return (a.join(b_, ["band_idx", "band_hash"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle_k: int = 5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (verification
+    stage after LSH)."""
+    sh = df.select(F.col(id_col),
+                   F.expr(_shingles_expr(text_col, shingle_k)).alias("sh"))
+    j = (pairs
+         .join(sh.withColumnRenamed(id_col, "id_a")
+                 .withColumnRenamed("sh", "sh_a"), "id_a")
+         .join(sh.withColumnRenamed(id_col, "id_b")
+                 .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """SimHash over word tokens; bit p of md5(token) votes +/-1.
+
+    Doc-local (no shuffle): tokens -> per-bit vote sums via aggregate() ->
+    packed integer. md5 nibble math keeps the DuckDB oracle bit-identical.
+    """
+    toks = (f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+            f"x -> x != '')")
+    # votes[p] = sum over tokens of (2*bit_p(md5(tok)) - 1)
+    bit = ("((cast(conv(substring(md5(t), cast(p / 4 as int) + 1, 1), 16, 10)"
+           " as int) div cast(pow(2, 3 - p % 4) as int)) % 2)")
+    votes = (f"aggregate({toks}, array_repeat(0L, {bits}), "
+             f"(acc, t) -> zip_with(acc, "
+             f"transform(sequence(0, {bits - 1}), "
+             f"p -> cast(2 * {bit} - 1 as bigint)), "
+             f"(a, b) -> a + b))")
+    packed = (f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+              f"(v, p) -> case when v > 0 then cast(pow(2, p) as bigint) "
+              f"else 0L end), 0L, (a, b) -> a + b)")
+    return df.select(F.col(id_col), F.expr(packed).alias("simhash"))

