@@ -1,0 +1,221 @@
+"""Structured Streaming preview engine (north_rule core).
+
+Pipeline:
+
+    readStream (file/rate/Iceberg source)
+      -> withWatermark("ts", late_gap)
+      -> groupBy(conv_id).applyInPandasWithState(merge+preview kernel)
+      -> foreachBatch idempotent keyed sink (exactly-once)
+
+Per-conversation state holds the merged turn map (the "stateful join" on
+(conv_id, turn_idx): late/duplicate turns merge last-write-wins by ts),
+with stable turn ordering enforced before budget allocation. Conversation
+sessions close via event-time timeout (session-window semantics hosted
+inside the stateful operator — declarative session_window cannot hold
+arbitrary state). Checkpointed and resumable; replays are idempotent
+because the sink MERGEs on conv_id and skips already-committed batch ids.
+
+Scale notes:
+- state per conversation is O(array_cap) once the turn cap is applied;
+  the watermark bounds how long state lives
+- conv_id skew: the state shuffle hashes conv_id; a hot conversation is
+  bounded by the turn cap + kernel SAFETY_CAP; upstream salting helper in
+  headson_spark.plans.salting pre-aggregates oversized conversations
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from ..kernel.api import make_configs
+from ..kernel import arena as ar
+from ..kernel.order import build_order
+from ..kernel.render import find_largest_render_under_budget
+
+OUTPUT_SCHEMA = ("conv_id string, preview string, n_turns int, "
+                 "last_ts timestamp, final boolean")
+STATE_SCHEMA = "turns_json string, max_ts_us long, emitted_version int"
+
+
+def _render_from_turn_map(turn_map: dict, cfg, prio, budget) -> str:
+    idxs = sorted(turn_map, key=int)
+    roles = [turn_map[i][0] for i in idxs]
+    texts = [turn_map[i][1] for i in idxs]
+    tools = [turn_map[i][2] for i in idxs]
+    a = ar.build_conversation_arena(roles, texts, tools,
+                                    prio["array_max_items"],
+                                    prio["sampler"])
+    po = build_order(a, prio["max_string_graphemes"],
+                     prefer_tail_arrays=prio["prefer_tail_arrays"],
+                     max_pops=max(budget, 1))
+    return find_largest_render_under_budget(po, cfg, budget)
+
+
+def make_stateful_preview_fn(budget: int = 500, style: str = "default",
+                             skew: str = "balanced", fmt: str = "json",
+                             session_gap_ms: int = 600_000,
+                             max_turns_in_state: int = 100_000):
+    """Build the applyInPandasWithState function."""
+    cfg, prio, budget = make_configs(format=fmt, style=style,
+                                     character_budget=budget, skew=skew)
+
+    def fn(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame],
+           state: Any) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.hasTimedOut:
+            # session closes: final emission, then evict state
+            turns_json, max_ts_us, version = state.get
+            turn_map = json.loads(turns_json)
+            preview = _render_from_turn_map(turn_map, cfg, prio, budget)
+            state.remove()
+            yield pd.DataFrame({
+                "conv_id": [conv_id], "preview": [preview],
+                "n_turns": [len(turn_map)],
+                "last_ts": [pd.Timestamp(max_ts_us, unit="us", tz="UTC")],
+                "final": [True]})
+            return
+
+        if state.exists:
+            turns_json, max_ts_us, version = state.get
+            turn_map = json.loads(turns_json)
+        else:
+            turn_map, max_ts_us, version = {}, 0, 0
+
+        changed = False
+        for pdf in pdf_iter:
+            for t_idx, role, text, tool, ts in zip(
+                    pdf["turn_idx"], pdf["role"], pdf["text"],
+                    pdf["tool"], pdf["ts"]):
+                ts_us = int(pd.Timestamp(ts).value // 1_000)
+                k = str(int(t_idx))
+                prev = turn_map.get(k)
+                # stateful join on (conv_id, turn_idx): last-write-wins
+                if prev is None or ts_us >= prev[3]:
+                    turn_map[k] = [role, text, tool, ts_us]
+                    changed = True
+                max_ts_us = max(max_ts_us, ts_us)
+        if len(turn_map) > max_turns_in_state:
+            # hard cap against degenerate conversations (reference
+            # SAFETY_CAP precedent, scoring.rs:3)
+            keep = sorted(turn_map, key=int)[:max_turns_in_state]
+            turn_map = {k: turn_map[k] for k in keep}
+
+        state.update((json.dumps(turn_map), max_ts_us, version + 1))
+        # session-window closure: event-time timeout at max_ts + gap
+        state.setTimeoutTimestamp(max_ts_us // 1000 + session_gap_ms)
+
+        if changed:
+            preview = _render_from_turn_map(turn_map, cfg, prio, budget)
+            yield pd.DataFrame({
+                "conv_id": [conv_id], "preview": [preview],
+                "n_turns": [len(turn_map)],
+                "last_ts": [pd.Timestamp(max_ts_us, unit="us", tz="UTC")],
+                "final": [False]})
+
+    return fn
+
+
+def streaming_previews(stream_df, *, budget: int = 500,
+                       style: str = "default", skew: str = "balanced",
+                       fmt: str = "json", watermark: str = "10 minutes",
+                       session_gap_ms: int = 600_000):
+    """stream_df: streaming DataFrame with the transcript schema."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn = make_stateful_preview_fn(budget, style, skew, fmt, session_gap_ms)
+    return (stream_df
+            .withWatermark("ts", watermark)
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                fn, OUTPUT_SCHEMA, STATE_SCHEMA, "update",
+                GroupStateTimeout.EventTimeTimeout))
+
+
+# --------------------------------------------------------------------------
+# idempotent keyed sink (exactly-once without an Iceberg catalog)
+
+
+class KeyedParquetSink:
+    """foreachBatch sink with exactly-once semantics: per-batch parquet
+    delta + a committed-batch manifest. Replayed batch ids (post-restart
+    re-execution) are skipped, making commits idempotent; reads
+    reconstruct latest-per-key (MERGE semantics). With an Iceberg catalog
+    this maps 1:1 onto MERGE INTO keyed by conv_id."""
+
+    def __init__(self, path: str, key: str = "conv_id",
+                 order_col: str = "last_ts"):
+        self.path = path
+        self.key = key
+        self.order_col = order_col
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.path, "_committed_batches.json")
+
+    def committed(self) -> set[int]:
+        if os.path.exists(self.manifest):
+            with open(self.manifest) as f:
+                return set(json.load(f))
+        return set()
+
+    def __call__(self, batch_df, batch_id: int):
+        if batch_id in self.committed():
+            return  # replay after restart: already durable, skip
+        from pyspark.sql import functions as F
+        out = os.path.join(self.path, f"batch={batch_id}")
+        (batch_df
+         .withColumn("_batch_id", F.lit(batch_id))
+         .withColumn("_partition_id", F.spark_partition_id())
+         .write.mode("overwrite").parquet(out))
+        done = self.committed()
+        done.add(batch_id)
+        tmp = self.manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(done), f)
+        os.replace(tmp, self.manifest)  # atomic commit point
+
+    def read_latest(self, spark):
+        """Latest row per key across committed batches (MERGE view)."""
+        from pyspark.sql import Window, functions as F
+        committed = self.committed()
+        if not committed:
+            return None
+        paths = [os.path.join(self.path, f"batch={b}") for b in committed]
+        paths = [p for p in paths if os.path.exists(p)]
+        df = spark.read.parquet(*paths)
+        w = Window.partitionBy(self.key).orderBy(
+            F.desc("_batch_id"), F.desc(self.order_col))
+        return (df.withColumn("_rn", F.row_number().over(w))
+                  .filter("_rn = 1").drop("_rn"))
+
+
+def run_stream(spark, source_dir: str, sink: KeyedParquetSink,
+               checkpoint_dir: str, *, budget: int = 500,
+               style: str = "default", watermark: str = "10 minutes",
+               session_gap_ms: int = 600_000, available_now: bool = True,
+               max_files_per_trigger: int | None = None):
+    """File-source streaming job (swap readStream.format('iceberg') for an
+    Iceberg catalog deployment — same plan otherwise)."""
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    reader = (spark.readStream.schema(schema))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+    out = streaming_previews(src, budget=budget, style=style,
+                             watermark=watermark,
+                             session_gap_ms=session_gap_ms)
+    writer = (out.writeStream
+              .foreachBatch(sink)
+              .outputMode("update")
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+    else:
+        q = writer.start()
+    return q

@@ -1,0 +1,142 @@
+"""Streaming engine tests (FIXTURES.md §4):
+
+1. late/duplicate turns replayed as a 2-chunk file stream merge
+   last-write-wins and the final sink equals the batch pipeline run on
+   the full input (exactly-once equivalence)
+2. kill/restart mid-stream resumes from checkpoint with identical output
+3. replayed batch ids are skipped by the idempotent sink
+4. rolling tumbling-window previews aggregate per window
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from headson_spark.operators.preview import conversation_previews
+from headson_spark.sources.transcripts import generate_rows, to_arrow
+from headson_spark.streaming.engine import KeyedParquetSink, run_stream
+from headson_spark.streaming.metrics import MetricsRecorder
+
+
+def _late_chunks(tmp_path):
+    """Split the `late` fixture into two out-of-order file chunks."""
+    cols = generate_rows(0.01, tags=["late", "plain"])
+    tbl = to_arrow(cols)
+    pdf = tbl.to_pandas()
+    # deterministic interleave: chunk by parity of row index
+    a = pdf.iloc[::2].reset_index(drop=True)
+    b = pdf.iloc[1::2].reset_index(drop=True)
+    src = tmp_path / "stream_src"
+    os.makedirs(src, exist_ok=True)
+    return src, [a, b], pdf
+
+
+def _write_chunk(src, i, pdf):
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(src / f"chunk_{i}.parquet"))
+
+
+@pytest.fixture()
+def late_stream(tmp_path):
+    return _late_chunks(tmp_path)
+
+
+def _batch_expected(spark, pdf):
+    sdf = spark.createDataFrame(pdf)
+    rows = conversation_previews(sdf, budget=500).collect()
+    return {r["conv_id"]: r["preview"] for r in rows}
+
+
+def test_stream_matches_batch_exactly_once(spark, late_stream, tmp_path):
+    src, chunks, full = late_stream
+    for i, c in enumerate(chunks):
+        _write_chunk(src, i, c)
+    sink = KeyedParquetSink(str(tmp_path / "sink"))
+    metrics = MetricsRecorder(str(tmp_path / "metrics.jsonl"))
+    metrics.attach(spark)
+    q = run_stream(spark, str(src), sink, str(tmp_path / "ckpt"),
+                   budget=500, available_now=True)
+    q.awaitTermination(300)
+    got_df = sink.read_latest(spark)
+    got = {r["conv_id"]: r["preview"] for r in got_df.collect()}
+    exp = _batch_expected(spark, full)
+    assert set(got) == set(exp)
+    bad = [k for k in exp if got[k] != exp[k]]
+    assert not bad, f"stream != batch for {bad[:5]}"
+    # lineage audit columns present
+    assert "_batch_id" in got_df.columns
+    assert "_partition_id" in got_df.columns
+    # metrics recorded progress
+    assert any(m.get("event") == "progress" for m in metrics.read())
+
+
+def test_stream_resume_from_checkpoint(spark, late_stream, tmp_path):
+    src, chunks, full = late_stream
+    sink = KeyedParquetSink(str(tmp_path / "sink2"))
+    ckpt = str(tmp_path / "ckpt2")
+    # session gap longer than the fixture's event-time span so sessions
+    # stay open across the restart (otherwise the timeout legitimately
+    # closes them between phases and phase-2 turns open a NEW session)
+    week_ms = 7 * 24 * 3600 * 1000
+    # phase 1: only first chunk available
+    _write_chunk(src, 0, chunks[0])
+    q = run_stream(spark, str(src), sink, ckpt, available_now=True,
+                   session_gap_ms=week_ms, watermark="2 days")
+    q.awaitTermination(300)
+    committed_phase1 = sink.committed()
+    assert committed_phase1, "phase 1 should commit at least one batch"
+    # phase 2: add second chunk, restart from the same checkpoint
+    _write_chunk(src, 1, chunks[1])
+    # watermark wider than the fixture's event-time span: phase-2 chunks
+    # carry turns that are "old" relative to phase-1's max event time, and
+    # rows older than the checkpointed watermark are correctly dropped —
+    # the equivalence claim only holds for in-watermark data
+    q2 = run_stream(spark, str(src), sink, ckpt, available_now=True,
+                    session_gap_ms=week_ms, watermark="2 days")
+    q2.awaitTermination(300)
+    got = {r["conv_id"]: r["preview"]
+           for r in sink.read_latest(spark).collect()}
+    exp = _batch_expected(spark, full)
+    assert got == exp, "resumed run must equal uninterrupted run"
+
+
+def test_sink_skips_replayed_batch(spark, tmp_path):
+    sink = KeyedParquetSink(str(tmp_path / "sink3"))
+    pdf = pd.DataFrame({
+        "conv_id": ["a"], "preview": ["p1"], "n_turns": [1],
+        "last_ts": [pd.Timestamp("2026-01-01", tz="UTC")],
+        "final": [False]})
+    df = spark.createDataFrame(pdf)
+    sink(df, 0)
+    # replay same batch id with different content: must be ignored
+    pdf2 = pdf.assign(preview=["p2"])
+    sink(spark.createDataFrame(pdf2), 0)
+    rows = sink.read_latest(spark).collect()
+    assert len(rows) == 1 and rows[0]["preview"] == "p1"
+
+
+def test_rolling_window_previews(spark, tmp_path):
+    from headson_spark.streaming.windows import rolling_previews
+    cols = generate_rows(0.01, tags=["plain"])
+    tbl = to_arrow(cols)
+    src = tmp_path / "roll_src"
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(tbl, str(src / "all.parquet"))
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = rolling_previews(stream, window="1 minute",
+                           watermark="0 seconds", budget=300)
+    q = (out.writeStream.format("memory").queryName("rolls")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows = spark.sql("select * from rolls").collect()
+    assert rows, "windowed previews should be emitted"
+    for r in rows:
+        assert r["preview"].startswith("{")
+        assert r["n_turns"] > 0
