@@ -57,8 +57,6 @@ def make_configs(*, format: str = "auto", style: str = "default",
         raise ValueError(
             f"unknown skew: {skew} (expected 'balanced' | 'head' | 'tail')")
     template = resolve_template(format, style)
-    if template == "yaml":
-        raise NotImplementedError("yaml output template not yet implemented")
     budget = DEFAULT_BUDGET if character_budget is None else character_budget
     prefer_tail = skew == "tail"
     cfg = RenderConfig(template=template, style=style, indent_unit="  ",
@@ -94,7 +92,9 @@ def summarize(text: str | bytes, *, format: str = "auto",
         a = ar.build_text_arena(text, prio["array_max_items"],
                                 prio["sampler"])
     elif inf in ("yaml", "yml"):
-        raise NotImplementedError("yaml input not yet implemented")
+        from .yaml_ingest import build_yaml_arena
+        a = build_yaml_arena(text, prio["array_max_items"],
+                             prio["sampler"])
     else:
         raise ValueError(
             f"unknown input_format: {input_format} "

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from heapq import heappush, heappop
 
 from . import arena as ar
-from .graphemes import grapheme_breaks
+from .graphemes import grapheme_breaks, _ASCII_SAFE
 
 SAFETY_CAP = 2_000_000          # order/scoring.rs:3
 ROOT_BASE_SCORE = 1             # scoring.rs:6
@@ -78,6 +78,21 @@ class PriorityOrder:
         self.part_start.append(-1)
         self.part_count.append(0)
         return len(self.kind) - 1
+
+    def _push_part_block(self, parent: int, n: int):
+        """Reserve n LeafPart rows in one bulk extend (hot path)."""
+        self.kind.extend([K_PART] * n)
+        self.key.extend([None] * n)
+        self.value.extend([None] * n)
+        self.parent.extend([parent] * n)
+        self.children.extend([None] * n)
+        self.orig_index.extend([None] * n)
+        self.total_len.extend([None] * n)
+        self.string_len.extend([None] * n)
+        self.string_truncated.extend([False] * n)
+        self.breaks.extend([None] * n)
+        self.part_start.extend([-1] * n)
+        self.part_count.extend([0] * n)
 
 
 _KIND_FROM_ARENA = {
@@ -198,49 +213,57 @@ def build_order(a: ar.Arena, max_string_graphemes: int,
         # equal scores + ascending ids => already sorted
         push_stream_head((entries, 0))
 
+    _ascii_safe = _ASCII_SAFE
+
     def expand_string(pq_id, parent_score):
         nonlocal next_id
         s = po.value[pq_id] or ""
-        brks = grapheme_breaks(s) if s else [0]
-        po.breaks[pq_id] = brks
-        n_actual = len(brks) - 1
+        # ASCII fast path: 1 char == 1 grapheme; breaks stays None and the
+        # renderer slices directly
+        if s and all(c in _ascii_safe for c in s):
+            n_actual = len(s)
+        else:
+            brks = grapheme_breaks(s) if s else [0]
+            po.breaks[pq_id] = brks
+            n_actual = len(brks) - 1
         count = min(n_actual, max_string_graphemes)
         po.string_len[pq_id] = count
         po.string_truncated[pq_id] = n_actual > count
         if count == 0:
             return
-        start = next_id
         n = min(count, max(SAFETY_CAP - next_id, 0))
         if n == 0:
             return
+        start = next_id
         po.part_start[pq_id] = start
         po.part_count[pq_id] = n
-        # reserve the id block without materializing per-part rows
-        for i in range(n):
-            po._push_node(K_PART, None, None, pq_id, None)
+        po._push_part_block(pq_id, n)
         next_id += n
+        # parts push lazily with closed-form scores (build.rs:291-331):
+        # parent + 1 + i + max(0, i-20)^2, strictly increasing in i
+        heappush(heap, (parent_score + STRING_CHILD_BASE_INCREMENT,
+                        start, -1, (parent_score, start, n, 0)))
 
-        def part_entries():
-            # scores (build.rs:291-331): parent + 1 + i + max(0,i-20)^2,
-            # strictly increasing in i => lazy list is sorted
-            out = []
-            for i in range(n):
-                extra = 0
-                if i > STRING_INDEX_INFLECTION:
-                    d = i - STRING_INDEX_INFLECTION
-                    extra = d * d * STRING_INDEX_QUADRATIC_WEIGHT
-                out.append((parent_score + STRING_CHILD_BASE_INCREMENT
-                            + i * STRING_CHILD_LINEAR_WEIGHT + extra,
-                            start + i, -1))
-            return out
-
-        push_stream_head((part_entries(), 0))
+    def _part_score(base, i):
+        extra = 0
+        if i > STRING_INDEX_INFLECTION:
+            d = i - STRING_INDEX_INFLECTION
+            extra = d * d * STRING_INDEX_QUADRATIC_WEIGHT
+        return (base + STRING_CHILD_BASE_INCREMENT
+                + i * STRING_CHILD_LINEAR_WEIGHT + extra)
 
     limit = max_pops if max_pops is not None else SAFETY_CAP
     by_priority = po.by_priority
     while heap and len(by_priority) < limit:
         score, pq_id, arena_id, stream = heappop(heap)
-        # advance the parent's lazy stream
+        # advance this entry's sibling stream
+        if len(stream) == 4:  # LeafPart stream: (base, start, n, i)
+            base, start, n, i = stream
+            if i + 1 < n:
+                heappush(heap, (_part_score(base, i + 1), start + i + 1,
+                                -1, (base, start, n, i + 1)))
+            by_priority.append(pq_id)
+            continue  # parts never expand
         lst, pos = stream
         if pos + 1 < len(lst):
             nscore, nid_, naid = lst[pos + 1]
@@ -253,7 +276,6 @@ def build_order(a: ar.Arena, max_string_graphemes: int,
             expand_object(pq_id, nodes[arena_id], score)
         elif kind == K_STRING:
             expand_string(pq_id, score)
-        # K_ATOMIC / K_PART: no expansion
         if next_id >= SAFETY_CAP:
             break
 

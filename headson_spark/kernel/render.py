@@ -38,41 +38,74 @@ class RenderConfig:
     prefer_tail_arrays: bool = False
 
 
+import re as _re
+
+_NEEDS_ESCAPE = _re.compile(r'["\\\x00-\x1f]')
+_KEY_CACHE: dict[str, str] = {}
+
+
 def json_string(s: str) -> str:
     """JSON string literal, serde_json-compatible (utils/json.rs:4-11)."""
+    if _NEEDS_ESCAPE.search(s) is None:
+        return f'"{s}"'
     return json.dumps(s, ensure_ascii=False)
 
 
-def mark_top_k(po: PriorityOrder, k: int) -> tuple[set[int], dict[int, int]]:
-    """Include first k of by_priority plus all ancestors (graph.rs:41-61).
+def json_key(s: str) -> str:
+    v = _KEY_CACHE.get(s)
+    if v is None:
+        if len(_KEY_CACHE) > 10_000:
+            _KEY_CACHE.clear()
+        v = _KEY_CACHE[s] = json_string(s)
+    return v
 
-    Returns (marked ids, kept LeafPart count per string id).
-    """
-    marked: set[int] = set()
-    kept_parts: dict[int, int] = {}
-    parent = po.parent
-    kind = po.kind
-    for pq_id in po.by_priority[:k]:
-        if pq_id in marked:
-            continue
-        marked.add(pq_id)
-        if kind[pq_id] == K_PART:
-            p = parent[pq_id]
-            kept_parts[p] = kept_parts.get(p, 0) + 1
-        cur = parent[pq_id]
-        while cur >= 0 and cur not in marked:
-            marked.add(cur)
-            cur = parent[cur]
-    return marked, kept_parts
+
+class RenderSet:
+    """Epoch-stamped inclusion flags, reused across binary-search probes
+    (the reference's render_set_id scheme, serialization/mod.rs:16-24)."""
+
+    __slots__ = ("flags", "epoch")
+
+    def __init__(self, total: int):
+        self.flags = [0] * total
+        self.epoch = 0
+
+    def mark_top_k(self, po: PriorityOrder, k: int) -> dict[int, int]:
+        """Mark first k of by_priority + ancestors (graph.rs:41-61);
+        returns kept LeafPart count per string id."""
+        self.epoch += 1
+        rid = self.epoch
+        flags = self.flags
+        parent = po.parent
+        kind = po.kind
+        kept_parts: dict[int, int] = {}
+        for pq_id in po.by_priority[:k]:
+            if flags[pq_id] == rid:
+                continue
+            flags[pq_id] = rid
+            if kind[pq_id] == K_PART:
+                p = parent[pq_id]
+                kept_parts[p] = kept_parts.get(p, 0) + 1
+                cur = p
+            else:
+                cur = parent[pq_id]
+            while cur >= 0 and flags[cur] != rid:
+                flags[cur] = rid
+                cur = parent[cur]
+        return kept_parts
 
 
 class _Renderer:
     def __init__(self, po: PriorityOrder, cfg: RenderConfig,
-                 marked: set[int], kept_parts: dict[int, int]):
+                 rset: RenderSet, kept_parts: dict[int, int],
+                 escaped_cache: dict[int, str] | None = None):
         self.po = po
         self.cfg = cfg
-        self.marked = marked
+        self.flags = rset.flags
+        self.rid = rset.epoch
         self.kept_parts = kept_parts
+        # escaped full-string literals are probe-invariant: cache per node
+        self.escaped = escaped_cache if escaped_cache is not None else {}
 
     # ---- string / atomic leaves ----
 
@@ -90,7 +123,9 @@ class _Renderer:
     def _take_graphemes(self, pq_id: int, n: int) -> str:
         s = self.po.value[pq_id] or ""
         brks = self.po.breaks[pq_id]
-        if brks is None or n >= len(brks) - 1:
+        if brks is None:
+            return s[: max(n, 0)]  # ASCII fast path: 1 char == 1 grapheme
+        if n >= len(brks) - 1:
             return s
         return s[: brks[max(n, 0)]]
 
@@ -103,7 +138,10 @@ class _Renderer:
                 return full
             return self._take_graphemes(pq_id, kept) + OMISSION
         if omitted == 0:
-            return json_string(full)
+            esc = self.escaped.get(pq_id)
+            if esc is None:
+                esc = self.escaped[pq_id] = json_string(full)
+            return esc
         return json_string(self._take_graphemes(pq_id, kept) + OMISSION)
 
     # ---- structural helpers ----
@@ -112,8 +150,9 @@ class _Renderer:
         kids = self.po.children[pq_id]
         if not kids:
             return []
-        m = self.marked
-        return [c for c in kids if c in m]
+        flags = self.flags
+        rid = self.rid
+        return [c for c in kids if flags[c] == rid]
 
     def _omitted_for(self, pq_id: int, kept: int) -> int:
         total = self.po.total_len[pq_id]
@@ -137,6 +176,12 @@ class _Renderer:
                              self.po.kind[c], rendered))
         if template == "text":
             return self._render_array_text(children, omitted)
+        if template == "yaml":
+            if self.cfg.newline == "" and self.cfg.indent_unit == "":
+                return self._render_array_marked(
+                    children, kept, omitted, depth, inline, None, None)
+            return self._render_array_yaml(children, kept, omitted, depth,
+                                           inline)
         if template in ("pseudo", "auto"):
             return self._render_array_marked(
                 children, kept, omitted, depth, inline,
@@ -227,6 +272,145 @@ class _Renderer:
         out.append("]")
         return "".join(out)
 
+    # ---- yaml template (templates/yaml.rs) ----
+
+    _YAML_RESERVED = {"true", "false", "null", "~", "yes", "no", "on",
+                      "off", "y", "n"}
+    _YAML_PUNCT = set(":#{}[],&*?|>@%!")
+
+    def _yaml_needs_quotes_value(self, s: str) -> bool:
+        if (s == "" or "\n" in s or "\r" in s
+                or s[:1].isspace() or s[-1:].isspace()
+                or s.lower() in self._YAML_RESERVED):
+            return True
+        c0 = s[0]
+        if c0 in "-+" or c0.isdigit():
+            if c0.isascii():
+                has_digit = False
+                ok = True
+                for ch in s:
+                    if ch.isascii() and ch.isdigit():
+                        has_digit = True
+                    elif ch in ".eE+-":
+                        pass
+                    else:
+                        ok = False
+                        break
+                if ok and has_digit and (c0 in "-+" or c0.isdigit()):
+                    return True
+        return any(ch in self._YAML_PUNCT for ch in s)
+
+    def _yaml_needs_quotes_key(self, s: str) -> bool:
+        if not s:
+            return True
+        first = s[0]
+        if (first.isascii() and first.isdigit()) or first == "-" \
+                or first.isspace():
+            return True
+        if s.lower() in self._YAML_RESERVED:
+            return True
+        if s[-1:].isspace():
+            return True
+        return not all(
+            (c.isascii() and (c.isalnum())) or c in "_-" for c in s)
+
+    def _yaml_scalar(self, token: str) -> str:
+        # token is a rendered leaf: JSON string literal or atomic token
+        if token.startswith('"'):
+            try:
+                raw = json.loads(token)
+            except Exception:
+                return token
+            if isinstance(raw, str) and not self._yaml_needs_quotes_value(
+                    raw):
+                return raw
+            return token
+        return token
+
+    def _render_array_yaml(self, children, kept, omitted, depth,
+                           inline) -> str:
+        cfg = self.cfg
+        ind = cfg.indent_unit
+        nl = cfg.newline
+        out: list[str] = []
+        if kept == 0:
+            if not inline:
+                out.append(ind * depth)
+            out.append("[]")
+            return "".join(out)
+
+        def omitted_comment():
+            if cfg.style == "strict" or omitted <= 0:
+                return
+            out.append(ind * depth)
+            if cfg.style == "default":
+                out.append("# …")
+            else:
+                out.append(f"# {omitted} more items")
+            out.append(nl)
+
+        if cfg.prefer_tail_arrays:
+            omitted_comment()
+        for _, _, item in children:
+            if "\n" not in item and "\r" not in item:
+                out.append(ind * depth)
+                out.append("- ")
+                out.append(self._yaml_scalar(item.strip()))
+                out.append(nl)
+            else:
+                lines = item.splitlines()
+                if lines:
+                    out.append(ind * depth)
+                    out.append("- ")
+                    out.append(lines[0].lstrip())
+                    out.append(nl)
+                for rest in lines[1:]:
+                    out.append(ind * depth)
+                    out.append("  ")
+                    out.append(rest.lstrip())
+                    out.append(nl)
+        if not cfg.prefer_tail_arrays:
+            omitted_comment()
+        return "".join(out)
+
+    def _render_object_yaml(self, inc, kept, omitted, depth, inline,
+                            fileset_root) -> str:
+        cfg = self.cfg
+        ind = cfg.indent_unit
+        nl = cfg.newline
+        out: list[str] = []
+        if kept == 0:
+            if not inline:
+                out.append(ind * depth)
+            out.append("{}")
+            return "".join(out)
+        for c in inc:
+            raw_key = self.po.key[c] or ""
+            key_text = (raw_key if not self._yaml_needs_quotes_key(raw_key)
+                        else json_key(raw_key))
+            v = self.render_node(c, depth + 1, True, "yaml")
+            out.append(ind * depth)
+            out.append(key_text)
+            if "\n" not in v and "\r" not in v:
+                out.append(": ")
+                out.append(self._yaml_scalar(v))
+                out.append(nl)
+            else:
+                out.append(":")
+                out.append(nl)
+                out.append(v)
+                if not v.endswith(("\n", "\r")):
+                    out.append(nl)
+        if omitted > 0 and cfg.style != "strict":
+            out.append(ind * depth)
+            if cfg.style == "default":
+                out.append("# …")
+            else:
+                label = "files" if fileset_root else "properties"
+                out.append(f"# {omitted} more {label}")
+            out.append(nl)
+        return "".join(out)
+
     # ---- object rendering ----
 
     def render_object(self, pq_id: int, depth: int, inline: bool,
@@ -243,6 +427,11 @@ class _Renderer:
         kept = len(inc)
         omitted = self._omitted_for(pq_id, kept)
         fileset_root = pq_id == 0 and self.po.is_fileset
+        if template == "yaml":
+            if not (cfg.newline == "" and cfg.indent_unit == ""):
+                return self._render_object_yaml(inc, kept, omitted, depth,
+                                                inline, fileset_root)
+            template = "json"  # compact yaml falls back (yaml.rs:256-259)
         label = "files" if fileset_root else "properties"
         ind = cfg.indent_unit
         nl = cfg.newline
@@ -265,7 +454,7 @@ class _Renderer:
         out.append(nl)
         for i, c in enumerate(inc):
             out.append(ind * (depth + 1))
-            out.append(json_string(self.po.key[c] or ""))
+            out.append(json_key(self.po.key[c] or ""))
             out.append(":")
             out.append(cfg.space)
             out.append(self.render_node(c, depth + 1, True, template))
@@ -294,7 +483,7 @@ class _Renderer:
         kids = po.children[0] or []
         kept = 0
         for c in kids:
-            if c not in self.marked:
+            if self.flags[c] != self.rid:
                 continue
             if kept > 0:
                 out.append(cfg.newline)
@@ -342,29 +531,37 @@ class _Renderer:
         raise AssertionError("LeafPart should never be rendered")
 
 
-def render_top_k(po: PriorityOrder, k: int, cfg: RenderConfig) -> str:
-    marked, kept_parts = mark_top_k(po, min(k, len(po.by_priority)))
-    r = _Renderer(po, cfg, marked, kept_parts)
+def render_top_k(po: PriorityOrder, k: int, cfg: RenderConfig,
+                 rset: RenderSet | None = None,
+                 escaped_cache: dict | None = None) -> str:
+    if rset is None:
+        rset = RenderSet(po.total_nodes)
+    kept_parts = rset.mark_top_k(po, min(k, len(po.by_priority)))
+    r = _Renderer(po, cfg, rset, kept_parts, escaped_cache)
     return r.render_node(0, 0, False, cfg.template)
 
 
 def find_largest_render_under_budget(po: PriorityOrder, cfg: RenderConfig,
                                      budget: int) -> str:
-    """Binary-search max k whose rendered BYTE length fits (lib.rs:117-179)."""
+    """Binary-search max k whose rendered BYTE length fits (lib.rs:117-179).
+
+    The flag array and escaped-string cache are shared across probes
+    (the reference's epoch-stamped inclusion flags, lib.rs:132-136)."""
     total = po.total_nodes
     if total == 0:
         return ""
+    rset = RenderSet(total)
+    escaped: dict[int, str] = {}
     lo, hi = 1, min(total, max(budget, 1))
-    best_k = None
     best_render = None
     while lo <= hi:
         mid = (lo + hi) // 2
-        s = render_top_k(po, mid, cfg)
+        s = render_top_k(po, mid, cfg, rset, escaped)
         if len(s.encode("utf-8")) <= budget:
-            best_k, best_render = mid, s
+            best_render = s
             lo = mid + 1
         else:
             hi = mid - 1
     if best_render is not None:
         return best_render
-    return render_top_k(po, 1, cfg)
+    return render_top_k(po, 1, cfg, rset, escaped)

@@ -64,19 +64,47 @@ def make_preview_fn(budget: int = 500, style: str = "default",
     cfg, prio, budget = make_configs(format=fmt, style=style,
                                      character_budget=budget, skew=skew)
 
+    import numpy as np
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive sorted by (conv_id, turn_idx, ts) — see
+        # conversation_previews; concat(carry, batch) preserves that order
         carry: pd.DataFrame | None = None
 
         def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+            conv = pdf["conv_id"].to_numpy()
+            tidx = pdf["turn_idx"].to_numpy()
+            # vectorized last-write-wins: rows are ts-ascending within
+            # (conv_id, turn_idx), so keep each run's last row
+            keep = np.empty(len(conv), dtype=bool)
+            keep[-1] = True
+            keep[:-1] = (conv[:-1] != conv[1:]) | (tidx[:-1] != tidx[1:])
+            if not keep.all():
+                pdf = pdf[keep]
+                conv = conv[keep]
+            roles = pdf["role"].tolist()
+            texts = pdf["text"].tolist()
+            tools = pdf["tool"].tolist()
+            # conversation boundaries on the sorted conv_id column
+            bounds = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(conv)]))
             out = {"conv_id": [], "preview": [], "n_turns": [],
                    "n_chars": [], "preview_bytes": []}
-            for conv_id, grp in pdf.groupby("conv_id", sort=False):
-                n_turns, n_chars, preview = _summarize_conv(
-                    grp, cfg, prio, budget)
-                out["conv_id"].append(conv_id)
+            for s, e in zip(starts, ends):
+                a = ar.build_conversation_arena(
+                    roles[s:e], texts[s:e], tools[s:e],
+                    prio["array_max_items"], prio["sampler"])
+                po = build_order(
+                    a, prio["max_string_graphemes"],
+                    prefer_tail_arrays=prio["prefer_tail_arrays"],
+                    max_pops=max(budget, 1))
+                preview = find_largest_render_under_budget(po, cfg, budget)
+                out["conv_id"].append(conv[s])
                 out["preview"].append(preview)
-                out["n_turns"].append(n_turns)
-                out["n_chars"].append(n_chars)
+                out["n_turns"].append(e - s)
+                out["n_chars"].append(
+                    int(sum(len(t) for t in texts[s:e])))
                 out["preview_bytes"].append(len(preview.encode("utf-8")))
             return pd.DataFrame(out)
 
@@ -88,9 +116,10 @@ def make_preview_fn(budget: int = 500, style: str = "default",
                 continue
             last = pdf["conv_id"].iloc[-1]
             # hold back the (possibly incomplete) trailing conversation
-            mask = pdf["conv_id"] == last
-            carry = pdf[mask]
-            ready = pdf[~mask]
+            vals = pdf["conv_id"].to_numpy()
+            cut = int(np.searchsorted(vals, last, side="left"))
+            carry = pdf.iloc[cut:]
+            ready = pdf.iloc[:cut]
             if len(ready):
                 yield flush(ready)
         if carry is not None and len(carry):
@@ -105,12 +134,13 @@ def conversation_previews(df, *, budget: int = 500, style: str = "default",
     """DataFrame[conv_id, turn_idx, role, text, tool, ts] ->
     DataFrame[conv_id, preview, n_turns, n_chars, preview_bytes].
     """
-    from pyspark.sql import functions as F  # noqa: F401
-
-    if num_partitions:
-        dist = df.repartition(num_partitions, "conv_id")
-    else:
-        dist = df.repartition("conv_id")
+    if num_partitions is None:
+        # explicit count pins the exchange: AQE's size-based coalescing
+        # targets ~64MB partitions, which under-parallelizes a
+        # CPU-bound Python kernel stage (bytes are small, work is not)
+        sc = df.sparkSession.sparkContext
+        num_partitions = max(sc.defaultParallelism * 4, 8)
+    dist = df.repartition(num_partitions, "conv_id")
     dist = dist.sortWithinPartitions("conv_id", "turn_idx", "ts")
     return dist.mapInPandas(
         make_preview_fn(budget, style, skew, fmt), schema=PREVIEW_SCHEMA)

@@ -12,7 +12,12 @@ def get_spark(app: str = "headson_spark", master: str | None = None,
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or max(cpus, 8)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     b = (SparkSession.builder.appName(app).master(master)
+         # local mode: the driver JVM hosts all executor threads — size it
+         # for the box (128 GiB available), not Spark's 1g default
+         .config("spark.driver.memory", driver_mem)
+         .config("spark.driver.maxResultSize", "4g")
          # AQE: runtime coalescing + skew-join splitting — the first line of
          # defense for conv_id skew at 100 TB
          .config("spark.sql.adaptive.enabled", "true")

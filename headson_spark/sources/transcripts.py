@@ -178,22 +178,34 @@ def to_arrow(cols) -> pa.Table:
 
 def write_transcripts(path: str, sf: float = 0.01,
                       tags: list[str] | None = None,
-                      bulk_turns: int = 0) -> str:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                      bulk_turns: int = 0, n_files: int = 1) -> str:
+    """Write transcripts as one parquet file (n_files=1) or a directory
+    of n_files shards — sharding matters for scan parallelism: one 40MB
+    file is one Spark scan task regardless of cluster size."""
     tbl = to_arrow(generate_rows(sf, tags, bulk_turns))
-    pq.write_table(tbl, path)
+    if n_files <= 1:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(tbl, path)
+        return path
+    os.makedirs(path, exist_ok=True)
+    n = tbl.num_rows
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = tbl.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{i:04d}.parquet"))
     return path
 
 
 def ensure_transcripts(sf: float = 0.01, base_dir: str | None = None,
-                       bulk_turns: int = 0) -> str:
+                       bulk_turns: int = 0, n_files: int = 32) -> str:
     """Generate-once cache under data/ (gitignored)."""
     base = base_dir or os.path.join(os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
-    name = f"transcripts_sf{sf}_b{bulk_turns}.parquet"
+    name = f"transcripts_sf{sf}_b{bulk_turns}_f{n_files}.parquet"
     path = os.path.join(base, name)
     if not os.path.exists(path):
-        write_transcripts(path, sf, bulk_turns=bulk_turns)
+        write_transcripts(path, sf, bulk_turns=bulk_turns, n_files=n_files)
     return path
 
 

@@ -196,7 +196,8 @@ class KeyedParquetSink:
 
 def run_stream(spark, source_dir: str, sink: KeyedParquetSink,
                checkpoint_dir: str, *, budget: int = 500,
-               style: str = "default", watermark: str = "10 minutes",
+               style: str = "default", skew: str = "balanced",
+               watermark: str = "10 minutes",
                session_gap_ms: int = 600_000, available_now: bool = True,
                max_files_per_trigger: int | None = None):
     """File-source streaming job (swap readStream.format('iceberg') for an
@@ -207,7 +208,7 @@ def run_stream(spark, source_dir: str, sink: KeyedParquetSink,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(source_dir)
-    out = streaming_previews(src, budget=budget, style=style,
+    out = streaming_previews(src, budget=budget, style=style, skew=skew,
                              watermark=watermark,
                              session_gap_ms=session_gap_ms)
     writer = (out.writeStream
