@@ -205,6 +205,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_duplicate_groups(_docs(spark, sf_dir))
     q["dedup_exact"] = dedup_exact
 
+    def dedup_prefix(spark, sf_dir):
+        # near-dup blocking on a normalized 24-char prefix — non-trivial
+        # group structure at every scale (exact dedup may find 0 dups)
+        d = _docs(spark, sf_dir)
+        h = F.md5(F.substring(dedup.normalized("text"), 1, 24))
+        return (d.select(h.alias("prefix_hash"), "doc_id")
+                .groupBy("prefix_hash")
+                .agg(F.count("*").cast("bigint").alias("n_docs"),
+                     F.min("doc_id").alias("keep_id")))
+    q["dedup_prefix"] = dedup_prefix
+
     def minhash_sig(spark, sf_dir):
         d = _docs(spark, sf_dir).filter(F.col("doc_id") < 64)
         return dedup.minhash_signatures(d, n_hashes=4, shingle_k=MINHASH_W)
@@ -380,6 +391,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5({norm}) AS content_hash, COUNT(*) AS n_docs,
                MIN(doc_id) AS keep_id
         FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """
+
+    sql["dedup_prefix"] = f"""
+        SELECT md5(substr({norm}, 1, 24)) AS prefix_hash,
+               COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1
     """
 
     sql["minhash_sig"] = f"""

@@ -144,8 +144,15 @@ class _ObjectPairs(list):
     """json.loads object_pairs_hook marker preserving duplicate keys."""
 
 
+def _reject_constant(name: str):
+    # strict JSON: NaN/Infinity/-Infinity are invalid (the reference's
+    # simd-json parser rejects them; JSONTestSuite n_number_* cases)
+    raise ValueError(f"invalid JSON constant: {name}")
+
+
 def parse_json(text: str | bytes):
-    return json.loads(text, object_pairs_hook=_ObjectPairs)
+    return json.loads(text, object_pairs_hook=_ObjectPairs,
+                      parse_constant=_reject_constant)
 
 
 def build_value_arena(value, array_cap: int, sampler: str = "balanced",
