@@ -267,6 +267,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       n_planes=LSH_PLANES)
     q["ann_lsh_buckets"] = ann_lsh_buckets
 
+    def corpus_digest_q(spark, sf_dir):
+        from headson_spark.operators.digest import corpus_digest
+        d = corpus_digest(_t(spark, sf_dir), global_budget=2000,
+                          max_conversations=8)
+        return spark.createDataFrame([(d, len(d.encode("utf-8")))],
+                                     "digest string, digest_bytes int")
+    q["corpus_digest"] = corpus_digest_q
+
     # --- multimodal plumbing (stub decode; rows-only check) ---
     def multimodal_features(spark, sf_dir):
         media = synth_media(_docs(spark, sf_dir), "doc_id", "text")

@@ -35,6 +35,28 @@ def test_fileset_text_files_snapshot():
         read_snap("text_snapshots__fileset_text_files_snapshot"))
 
 
+def test_combined_limits_single_file_snapshot():
+    # CLI: -n 80 -N 200 => effective 80 (tests/combined_limits.rs:57-66)
+    p = Path("/root/reference/tests/fixtures/explicit/string_escaping.json")
+    out = summarize(p.read_text(), format="json", style="default",
+                    character_budget=80)
+    assert norm(out) == norm(read_snap(
+        "combined_limits__combined_limits_single_file_pseudo_min80"))
+
+
+def test_combined_limits_min_semantics():
+    # -n 300 -N 120 across two files == -N 120 (combined_limits.rs:46-56)
+    p1 = Path("/root/reference/tests/fixtures/explicit/object_small.json")
+    p2 = Path(
+        "/root/reference/tests/fixtures/explicit/array_numbers_50.json")
+    inputs = [(str(p1), p1.read_text()), (str(p2), p2.read_text())]
+    both = summarize_many(inputs, format="json", style="strict",
+                          character_budget=120, per_input_budget=300)
+    min_only = summarize_many(inputs, format="json", style="strict",
+                              character_budget=120)
+    assert both == min_only
+
+
 def test_pseudo_fileset_headers_and_summary():
     p1 = Path("/root/reference/tests/fixtures/explicit/object_small.json")
     p2 = Path(

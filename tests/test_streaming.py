@@ -120,6 +120,30 @@ def test_sink_skips_replayed_batch(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["preview"] == "p1"
 
 
+def test_skewhot_conversation_streams_bounded(spark, tmp_path):
+    """The 50k-turn hot conversation streams through the stateful kernel
+    without blowing up: state is capped, the preview stays budgeted."""
+    cols = generate_rows(0.01, tags=["skewhot"])
+    tbl = to_arrow(cols)
+    src = tmp_path / "hot_src"
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(tbl, str(src / "hot.parquet"))
+    sink = KeyedParquetSink(str(tmp_path / "hot_sink"))
+    q = run_stream(spark, str(src), sink, str(tmp_path / "hot_ckpt"),
+                   budget=500, available_now=True,
+                   session_gap_ms=7 * 24 * 3600 * 1000)
+    q.awaitTermination(600)
+    rows = sink.read_latest(spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_turns"] == 50_000
+    assert len(r["preview"].encode("utf-8")) <= 500
+    # batch pipeline agrees on the hot conversation
+    batch = conversation_previews(
+        spark.read.parquet(str(src)), budget=500).collect()
+    assert batch[0]["preview"] == r["preview"]
+
+
 def test_rolling_window_previews(spark, tmp_path):
     from headson_spark.streaming.windows import rolling_previews
     cols = generate_rows(0.01, tags=["plain"])
