@@ -546,7 +546,16 @@ def find_largest_render_under_budget(po: PriorityOrder, cfg: RenderConfig,
     """Binary-search max k whose rendered BYTE length fits (lib.rs:117-179).
 
     The flag array and escaped-string cache are shared across probes
-    (the reference's epoch-stamped inclusion flags, lib.rs:132-136)."""
+    (the reference's epoch-stamped inclusion flags, lib.rs:132-136).
+
+    NOTE: the probe sequence must be EXACTLY the reference's
+    binary_search_max (utils/search.rs:2-18). The fits-predicate is not
+    monotone in k (a truncated string's "…" can be longer than the
+    content a larger k restores), so on non-monotone stretches the search
+    result depends on the probe order — any "smarter" search (galloping,
+    hints) can land on a different locally-maximal k and diverge from the
+    reference byte-for-byte.
+    """
     total = po.total_nodes
     if total == 0:
         return ""

@@ -87,17 +87,21 @@ def make_stateful_preview_fn(budget: int = 500, style: str = "default",
 
         changed = False
         for pdf in pdf_iter:
-            for t_idx, role, text, tool, ts in zip(
-                    pdf["turn_idx"], pdf["role"], pdf["text"],
-                    pdf["tool"], pdf["ts"]):
-                ts_us = int(pd.Timestamp(ts).value // 1_000)
-                k = str(int(t_idx))
+            # vectorized ts decode once per batch (ns -> us)
+            ts_us_arr = (pdf["ts"].to_numpy("datetime64[ns]")
+                         .astype("int64") // 1_000)
+            for t_idx, role, text, tool, ts_us in zip(
+                    pdf["turn_idx"].tolist(), pdf["role"].tolist(),
+                    pdf["text"].tolist(), pdf["tool"].tolist(),
+                    ts_us_arr.tolist()):
+                k = str(t_idx)
                 prev = turn_map.get(k)
                 # stateful join on (conv_id, turn_idx): last-write-wins
                 if prev is None or ts_us >= prev[3]:
                     turn_map[k] = [role, text, tool, ts_us]
                     changed = True
-                max_ts_us = max(max_ts_us, ts_us)
+                if ts_us > max_ts_us:
+                    max_ts_us = ts_us
         if len(turn_map) > max_turns_in_state:
             # hard cap against degenerate conversations (reference
             # SAFETY_CAP precedent, scoring.rs:3)
