@@ -61,49 +61,64 @@ def json_key(s: str) -> str:
 
 
 class RenderSet:
-    """Epoch-stamped inclusion flags, reused across binary-search probes
-    (the reference's render_set_id scheme, serialization/mod.rs:16-24)."""
+    """Per-conversation inclusion index shared across binary-search probes.
 
-    __slots__ = ("flags", "epoch")
+    Equivalent to the reference's top-k + ancestor-closure marking
+    (graph.rs:41-61) but computed ONCE: a node is in the render set for
+    any k iff eff_rank[node] < k, where eff_rank = min pop-rank over the
+    node's subtree (a node is included exactly when itself or any
+    descendant is in the top-k; ancestors pop before descendants so the
+    subtree-min dominates). Per-string kept-part counts come from a
+    bisect over the string's ascending part-rank list.
+    """
 
-    def __init__(self, total: int):
-        self.flags = [0] * total
-        self.epoch = 0
+    __slots__ = ("eff_rank", "part_ranks")
 
-    def mark_top_k(self, po: PriorityOrder, k: int) -> dict[int, int]:
-        """Mark first k of by_priority + ancestors (graph.rs:41-61);
-        returns kept LeafPart count per string id."""
-        self.epoch += 1
-        rid = self.epoch
-        flags = self.flags
+    def __init__(self, po: PriorityOrder):
+        total = po.total_nodes
+        INF = 1 << 60
+        rank = [INF] * total
+        for i, pq_id in enumerate(po.by_priority):
+            rank[pq_id] = i
+        eff = rank[:]  # eff_rank starts at own rank
         parent = po.parent
         kind = po.kind
-        kept_parts: dict[int, int] = {}
-        for pq_id in po.by_priority[:k]:
-            if flags[pq_id] == rid:
-                continue
-            flags[pq_id] = rid
+        part_ranks: dict[int, list[int]] = {}
+        # children always have higher ids than their parent (ids assigned
+        # at parent pop), so one descending pass folds subtree minima
+        for pq_id in range(total - 1, 0, -1):
+            p = parent[pq_id]
             if kind[pq_id] == K_PART:
-                p = parent[pq_id]
-                kept_parts[p] = kept_parts.get(p, 0) + 1
-                cur = p
-            else:
-                cur = parent[pq_id]
-            while cur >= 0 and flags[cur] != rid:
-                flags[cur] = rid
-                cur = parent[cur]
-        return kept_parts
+                r = rank[pq_id]
+                if r < INF:
+                    # parts pop in ascending order; iterating ids
+                    # descending visits later parts first
+                    part_ranks.setdefault(p, []).append(r)
+            e = eff[pq_id]
+            if p >= 0 and e < eff[p]:
+                eff[p] = e
+        for lst in part_ranks.values():
+            lst.reverse()  # ascending
+        self.eff_rank = eff
+        self.part_ranks = part_ranks
+
+    def kept_parts_for(self, string_id: int, k: int) -> int:
+        lst = self.part_ranks.get(string_id)
+        if not lst:
+            return 0
+        from bisect import bisect_left
+        return bisect_left(lst, k)
 
 
 class _Renderer:
     def __init__(self, po: PriorityOrder, cfg: RenderConfig,
-                 rset: RenderSet, kept_parts: dict[int, int],
+                 rset: RenderSet, k: int,
                  escaped_cache: dict[int, str] | None = None):
         self.po = po
         self.cfg = cfg
-        self.flags = rset.flags
-        self.rid = rset.epoch
-        self.kept_parts = kept_parts
+        self.rset = rset
+        self.eff_rank = rset.eff_rank
+        self.k = k
         # escaped full-string literals are probe-invariant: cache per node
         self.escaped = escaped_cache if escaped_cache is not None else {}
 
@@ -130,7 +145,7 @@ class _Renderer:
         return s[: brks[max(n, 0)]]
 
     def serialize_string(self, pq_id: int, template: str) -> str:
-        kept = self.kept_parts.get(pq_id, 0)
+        kept = self.rset.kept_parts_for(pq_id, self.k)
         omitted = self._string_omitted(pq_id, kept)
         full = self.po.value[pq_id] or ""
         if template == "text":
@@ -150,9 +165,9 @@ class _Renderer:
         kids = self.po.children[pq_id]
         if not kids:
             return []
-        flags = self.flags
-        rid = self.rid
-        return [c for c in kids if flags[c] == rid]
+        eff = self.eff_rank
+        k = self.k
+        return [c for c in kids if eff[c] < k]
 
     def _omitted_for(self, pq_id: int, kept: int) -> int:
         total = self.po.total_len[pq_id]
@@ -483,7 +498,7 @@ class _Renderer:
         kids = po.children[0] or []
         kept = 0
         for c in kids:
-            if self.flags[c] != self.rid:
+            if self.eff_rank[c] >= self.k:
                 continue
             if kept > 0:
                 out.append(cfg.newline)
@@ -535,9 +550,9 @@ def render_top_k(po: PriorityOrder, k: int, cfg: RenderConfig,
                  rset: RenderSet | None = None,
                  escaped_cache: dict | None = None) -> str:
     if rset is None:
-        rset = RenderSet(po.total_nodes)
-    kept_parts = rset.mark_top_k(po, min(k, len(po.by_priority)))
-    r = _Renderer(po, cfg, rset, kept_parts, escaped_cache)
+        rset = RenderSet(po)
+    k = min(k, len(po.by_priority))
+    r = _Renderer(po, cfg, rset, k, escaped_cache)
     return r.render_node(0, 0, False, cfg.template)
 
 
@@ -559,7 +574,7 @@ def find_largest_render_under_budget(po: PriorityOrder, cfg: RenderConfig,
     total = po.total_nodes
     if total == 0:
         return ""
-    rset = RenderSet(total)
+    rset = RenderSet(po)
     escaped: dict[int, str] = {}
     lo, hi = 1, min(total, max(budget, 1))
     best_render = None
