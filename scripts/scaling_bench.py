@@ -41,7 +41,10 @@ for i in range(5):
     conversation_previews(tdf, budget=500).write.format("noop").mode(
         "overwrite").save()
     runs.append(time.time() - t0)
-best = min(runs[2:])  # steady state
+# run 1 warms Python workers/page cache; afterwards take the best run —
+# on a shared host, later runs can DEGRADE from external noise, so
+# "min after warmup" is the least noise-biased steady-state estimator
+best = min(runs[1:])
 print(json.dumps({"cores": cores, "turns": n, "sec": round(best, 2),
                   "turns_per_sec": round(n / best, 1),
                   "all_runs_sec": [round(r, 2) for r in runs]}))
