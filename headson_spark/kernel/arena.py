@@ -245,13 +245,46 @@ def build_text_arena(text: str | bytes, array_cap: int,
 
 
 def build_conversation_arena(roles, texts, tools, array_cap: int,
-                             sampler: str = "balanced") -> Arena:
+                             sampler: str = "balanced",
+                             pre_sampled_indices: list[int] | None = None,
+                             pre_sampled_total: int | None = None) -> Arena:
     """Fast path for the canonical transcript document
     {"turns": [{"role","text","tool"}, ...]} (FIXTURES.md §2): the turns
     array is sampled BEFORE any per-turn node is built, so a 50k-turn
     conversation only materializes `array_cap` turn objects. Produces the
-    identical arena to build_value_arena on the full document."""
+    identical arena to build_value_arena on the full document.
+
+    When the sampler filter already ran upstream (Spark-side pushdown,
+    operators/sampling.py), pass the kept rows' original positions via
+    pre_sampled_indices and the pre-filter conversation length via
+    pre_sampled_total: the keep-sets are position-deterministic, so the
+    resulting arena is identical to sampling here."""
     a = Arena()
+    if pre_sampled_indices is not None:
+        total = (pre_sampled_total if pre_sampled_total is not None
+                 else len(roles))
+        idxs = list(range(len(roles)))  # rows are already the kept set
+        arr_node = Node(kind=ARRAY, array_len=total)
+        arr_id = a.push(arr_node)
+        children = []
+        for i in idxs:
+            t = Node(kind=OBJECT, keys=["role", "text", "tool"],
+                     object_len=3)
+            tid = a.push(t)
+            t.children = [
+                a.push(Node(kind=STRING, string_value=roles[i])),
+                a.push(Node(kind=STRING, string_value=texts[i])),
+                a.push(Node(kind=STRING, string_value=tools[i])),
+            ]
+            children.append(tid)
+        arr_node.children = children
+        orig = list(pre_sampled_indices)
+        arr_node.arr_indices = (None if orig == list(range(len(orig)))
+                                else orig)
+        root = Node(kind=OBJECT, keys=["turns"], children=[arr_id],
+                    object_len=1)
+        a.root_id = a.push(root)
+        return a
     total = len(roles)
     idxs = sample_indices(sampler, array_cap, total)
     arr_node = Node(kind=ARRAY, array_len=total)

@@ -128,6 +128,128 @@ def make_preview_fn(budget: int = 500, style: str = "default",
     return fn
 
 
+def make_presampled_preview_fn(budget: int, style: str, skew: str,
+                               fmt: str):
+    """mapInPandas kernel for pushed-down input: rows are already the
+    sampler keep-set; `_total` carries the pre-filter conversation
+    length; turn_idx doubles as the original array position."""
+    import numpy as np
+    cfg, prio, budget = make_configs(format=fmt, style=style,
+                                     character_budget=budget, skew=skew)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+            conv = pdf["conv_id"].to_numpy()
+            tidx = pdf["turn_idx"].to_numpy()
+            keep = np.empty(len(conv), dtype=bool)
+            keep[-1] = True
+            keep[:-1] = (conv[:-1] != conv[1:]) | (tidx[:-1] != tidx[1:])
+            if not keep.all():
+                pdf = pdf[keep]
+                conv = conv[keep]
+                tidx = tidx[keep]
+            roles = pdf["role"].tolist()
+            texts = pdf["text"].tolist()
+            tools = pdf["tool"].tolist()
+            totals = pdf["_total"].to_numpy()
+            bounds = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(conv)]))
+            out = {"conv_id": [], "preview": [], "n_turns": [],
+                   "n_chars": [], "preview_bytes": []}
+            for s, e in zip(starts, ends):
+                total = int(totals[s])
+                a = ar.build_conversation_arena(
+                    roles[s:e], texts[s:e], tools[s:e],
+                    prio["array_max_items"], prio["sampler"],
+                    pre_sampled_indices=[int(x) for x in tidx[s:e]],
+                    pre_sampled_total=total)
+                po = build_order(
+                    a, prio["max_string_graphemes"],
+                    prefer_tail_arrays=prio["prefer_tail_arrays"],
+                    max_pops=max(budget, 1))
+                preview = find_largest_render_under_budget(po, cfg, budget)
+                out["conv_id"].append(conv[s])
+                out["preview"].append(preview)
+                out["n_turns"].append(total)
+                out["n_chars"].append(
+                    int(sum(len(t) for t in texts[s:e])))
+                out["preview_bytes"].append(len(preview.encode("utf-8")))
+            return pd.DataFrame(out)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last = pdf["conv_id"].iloc[-1]
+            import numpy as np
+            vals = pdf["conv_id"].to_numpy()
+            cut = int(np.searchsorted(vals, last, side="left"))
+            carry = pdf.iloc[cut:]
+            ready = pdf.iloc[:cut]
+            if len(ready):
+                yield flush(ready)
+        if carry is not None and len(carry):
+            yield flush(carry)
+
+    return fn
+
+
+def conversation_previews_pushdown(df, *, budget: int = 500,
+                                   style: str = "default",
+                                   skew: str = "balanced",
+                                   fmt: str = "json",
+                                   num_partitions: int | None = None):
+    """Shuffle-volume-optimized preview pipeline: the sampler keep-set is
+    applied BEFORE the conv_id shuffle, so each conversation ships at most
+    O(budget/2) turns instead of all of them — the Spark analogue of the
+    reference's parse-time limit pushdown, at the shuffle boundary.
+
+    PRECONDITION: turn_idx is the dense 0-based position within the
+    conversation (the transcript schema contract, FIXTURES.md §1) — the
+    keep-sets are position-deterministic functions of the cap, so the
+    filter reproduces the kernel's sampling exactly. Supported for
+    balanced (mix64 keep-set) and head (prefix) skew; tail needs the
+    conversation length before filtering, so it falls back to the
+    standard pipeline.
+
+    Per-conversation totals (for omission counts) travel through a
+    row-per-conversation aggregate joined on the same hash partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    if skew == "tail":
+        return conversation_previews(df, budget=budget, style=style,
+                                     skew=skew, fmt=fmt,
+                                     num_partitions=num_partitions)
+    cap = max(max(budget, 1) // 2, 1)
+    if skew == "head":
+        keep = F.col("turn_idx") < cap
+    else:
+        from .sampling import default_kept_positions
+        keep = F.col("turn_idx").isin(default_kept_positions(cap))
+    # countDistinct: duplicate (conv_id, turn_idx) deliveries merge
+    # last-write-wins in the kernel, so the document length is the number
+    # of DISTINCT turns
+    totals = df.groupBy("conv_id").agg(
+        F.countDistinct("turn_idx").cast("int").alias("_total"))
+    kept = df.filter(keep)
+    if num_partitions is None:
+        sc = df.sparkSession.sparkContext
+        num_partitions = max(sc.defaultParallelism * 4, 8)
+    joined = (kept.repartition(num_partitions, "conv_id")
+              .join(totals.repartition(num_partitions, "conv_id"),
+                    "conv_id")
+              .sortWithinPartitions("conv_id", "turn_idx", "ts"))
+    return joined.mapInPandas(
+        make_presampled_preview_fn(budget, style, skew, fmt),
+        schema=PREVIEW_SCHEMA)
+
+
 def conversation_previews(df, *, budget: int = 500, style: str = "default",
                           skew: str = "balanced", fmt: str = "json",
                           num_partitions: int | None = None):
