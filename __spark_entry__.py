@@ -150,6 +150,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      style="detailed", skew="tail")
     q["conv_preview_tail"] = conv_preview_tail
 
+    def conv_preview_pushdown(spark, sf_dir):
+        from headson_spark.operators.preview import (
+            conversation_previews_pushdown)
+        return conversation_previews_pushdown(_t(spark, sf_dir),
+                                              budget=500, style="default")
+    q["conv_preview_pushdown"] = conv_preview_pushdown
+
+    def conv_preview_yaml(spark, sf_dir):
+        return conversation_previews(_t(spark, sf_dir), budget=400,
+                                     style="default", fmt="yaml")
+    q["conv_preview_yaml"] = conv_preview_yaml
+
     # --- relational core: agg / join / window / set ops ---
     def agg_pricing(spark, sf_dir):
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
