@@ -212,6 +212,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        .alias("without_orders"))))
     q["set_ops"] = set_ops
 
+    def semi_join(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+                .select("c_custkey", "c_name"))
+    q["semi_join"] = semi_join
+
+    def anti_join(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+                .select("c_custkey", "c_name"))
+    q["anti_join"] = anti_join
+
+    def asof_latest_event(spark, sf_dir):
+        """As-of join: for each order, the user's latest event at or
+        before the order date (explicit formulation, not engine-native
+        ASOF, so both engines compute identical tie-breaks)."""
+        from pyspark.sql import Window
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        j = (o.join(ev, (o.o_custkey == ev.user_id)
+                    & (ev.ts <= F.col("o_orderdate").cast("timestamp")))
+             .select("o_orderkey", "o_custkey", "event_id", "ts",
+                     "event_type"))
+        w = Window.partitionBy("o_orderkey").orderBy(
+            F.desc("ts"), F.desc("event_id"))
+        return (j.withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1")
+                .select("o_orderkey", "o_custkey", "event_id",
+                        "event_type"))
+    q["asof_latest_event"] = asof_latest_event
+
+    def rollup_pricing(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (li.rollup("l_returnflag", "l_linestatus")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+    q["rollup_pricing"] = rollup_pricing
+
+    def range_band_join(spark, sf_dir):
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        bands = spark.createDataFrame(
+            [("low", 0.0, 500.0), ("mid", 500.0, 1200.0),
+             ("high", 1200.0, 1e9)],
+            "band string, lo double, hi double")
+        return (p.join(F.broadcast(bands),
+                       (p.p_retailprice >= bands.lo)
+                       & (p.p_retailprice < bands.hi))
+                .groupBy("band")
+                .agg(F.count("*").cast("bigint").alias("n_parts"),
+                     F.round(F.avg("p_retailprice"), 4)
+                      .alias("avg_price")))
+    q["range_band_join"] = range_band_join
+
+    def event_time_buckets(spark, sf_dir):
+        """Tumbling 15-minute event-time windows, batch form (the
+        streaming variant lives in streaming/windows.py)."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        bucket = (F.floor(F.unix_timestamp("ts") / 900) * 900
+                  ).cast("bigint")
+        return (ev.groupBy(bucket.alias("bucket_start"),
+                           F.col("event_type"))
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value")))
+    q["event_time_buckets"] = event_time_buckets
+
     # --- dedup family (documents) ---
     def dedup_exact(spark, sf_dir):
         return dedup.exact_duplicate_groups(_docs(spark, sf_dir))
@@ -405,6 +472,52 @@ def oracle_sql() -> dict[str, str]:
                (SELECT COUNT(*) FROM
                    (SELECT DISTINCT c_custkey FROM customer
                     EXCEPT SELECT c_custkey FROM w)) AS without_orders
+    """
+
+    sql["semi_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """
+
+    sql["anti_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """
+
+    sql["asof_latest_event"] = """
+        SELECT o_orderkey, o_custkey, event_id, event_type
+        FROM (SELECT o.o_orderkey, o.o_custkey, e.event_id, e.event_type,
+                     ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                         ORDER BY e.ts DESC, e.event_id DESC) AS rn
+              FROM orders o JOIN events e
+                ON o.o_custkey = e.user_id
+               AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP))
+        WHERE rn = 1
+    """
+
+    sql["rollup_pricing"] = """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["range_band_join"] = """
+        WITH bands(band, lo, hi) AS (VALUES
+            ('low', 0.0, 500.0), ('mid', 500.0, 1200.0),
+            ('high', 1200.0, 1000000000.0))
+        SELECT band, COUNT(*) AS n_parts,
+               ROUND(AVG(p_retailprice), 4) AS avg_price
+        FROM part JOIN bands
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """
+
+    sql["event_time_buckets"] = """
+        SELECT CAST(FLOOR(EPOCH(ts) / 900) * 900 AS BIGINT)
+                   AS bucket_start,
+               event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
     """
 
     sql["dedup_exact"] = f"""
