@@ -186,7 +186,6 @@ def make_presampled_preview_fn(budget: int, style: str, skew: str,
             if len(pdf) == 0:
                 continue
             last = pdf["conv_id"].iloc[-1]
-            import numpy as np
             vals = pdf["conv_id"].to_numpy()
             cut = int(np.searchsorted(vals, last, side="left"))
             carry = pdf.iloc[cut:]

@@ -45,9 +45,6 @@ def snapshot_cases(prefix: str):
     cases = []
     if not SNAP_DIR.is_dir():
         return cases
-    pat = re.compile(
-        rf"^{prefix}__{re.escape(prefix.split('__')[0])}"  # unused
-    )
     for p in sorted(SNAP_DIR.glob(f"{prefix}__*.snap")):
         name = p.stem  # e.g. e2e__e2e_simple_array_json__pseudo__n100
         parts = name.split("__")
@@ -56,9 +53,8 @@ def snapshot_cases(prefix: str):
         _, fixture_tag, template, n = parts
         if template not in TEMPLATE_TO_ARGS:
             continue  # yaml etc.
-        fixture_tag = fixture_tag[len(prefix.split('__')[0]) + 1:] \
-            if fixture_tag.startswith(prefix.split('__')[0] + "_") else \
-            fixture_tag
+        if fixture_tag.startswith(prefix + "_"):
+            fixture_tag = fixture_tag[len(prefix) + 1:]
         budget = int(n.lstrip("n"))
         cases.append((p, fixture_tag, template, budget))
     return cases
