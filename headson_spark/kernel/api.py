@@ -113,6 +113,17 @@ def summarize_value(value, *, format: str = "json", style: str = "default",
     return _run(a, cfg, prio, budget)
 
 
+def resolve_fileset_ingest(names: list[str]) -> str:
+    """Per-fileset ingest format by extension mix (main.rs:224-247):
+    any .yaml/.yml => yaml; all .json => json; otherwise text."""
+    lowers = [n.lower() for n in names]
+    if any(n.endswith((".yaml", ".yml")) for n in lowers):
+        return "yaml"
+    if lowers and all(n.endswith(".json") for n in lowers):
+        return "json"
+    return "text"
+
+
 def summarize_many(inputs: list[tuple[str, object]], *, format: str = "auto",
                    style: str = "default",
                    character_budget: int | None = None,
@@ -136,7 +147,11 @@ def summarize_many(inputs: list[tuple[str, object]], *, format: str = "auto",
     cfg, prio, _ = make_configs(
         format=format, style=style, character_budget=max(budget // n, 1),
         skew=skew)
-    ingest = "text" if input_format.lower() == "text" else "json"
+    inf = input_format.lower()
+    if inf == "auto":
+        inf = resolve_fileset_ingest([n for n, _ in inputs])
+    ingest = "text" if inf == "text" else (
+        "yaml" if inf in ("yaml", "yml") else "json")
     a = ar.build_fileset_arena(inputs, prio["array_max_items"],
                                prio["sampler"], ingest=ingest)
     if format.lower() == "auto":

@@ -321,6 +321,9 @@ def build_fileset_arena(inputs: list[tuple[str, object]], array_cap: int,
     for name, payload in inputs:
         if ingest == "text":
             sub = build_text_arena(payload, array_cap, sampler)
+        elif ingest == "yaml":
+            from .yaml_ingest import build_yaml_arena
+            sub = build_yaml_arena(payload, array_cap, sampler)
         else:
             val = parse_json(payload) if isinstance(
                 payload, (str, bytes)) else payload
