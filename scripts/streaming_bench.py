@@ -33,8 +33,10 @@ def main():
     from headson_spark.streaming.engine import KeyedParquetSink, run_stream
     from headson_spark.streaming.metrics import MetricsRecorder
 
+    # state-store commits scale with partition count: cpus (not cpus*2)
+    # measured ~2x faster for the stateful pipeline
     spark = get_spark("streaming_bench", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus * 2)
+                      shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = tempfile.mkdtemp(prefix="stream_bench_")
