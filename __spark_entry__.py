@@ -346,6 +346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       n_planes=LSH_PLANES)
     q["ann_lsh_buckets"] = ann_lsh_buckets
 
+    def emb_near_dup(spark, sf_dir):
+        return similarity.embedding_near_dup_pairs(
+            _emb(spark, sf_dir), threshold=0.6, dim=EMB_DIM,
+            n_planes=LSH_PLANES)
+    q["emb_near_dup"] = emb_near_dup
+
     def corpus_digest_q(spark, sf_dir):
         from headson_spark.operators.digest import corpus_digest
         d = corpus_digest(_t(spark, sf_dir), global_budget=2000,
@@ -660,6 +666,28 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_lsh_buckets"] = f"""
         SELECT vec_id, CAST({' + '.join(terms)} AS BIGINT) AS bucket
         FROM embeddings
+    """
+
+    pair_dot = ("list_reduce(list_transform(list_zip(a.embedding, "
+                "b.embedding), x -> CAST(x[1] AS DOUBLE) * "
+                "CAST(x[2] AS DOUBLE)), (p, q) -> p + q)")
+
+    def vnorm(side):
+        return (f"sqrt(list_reduce(list_transform({side}.embedding, "
+                f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                f"(p, q) -> p + q))")
+
+    sql["emb_near_dup"] = f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   CAST({' + '.join(terms)} AS BIGINT) AS bucket
+            FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4)
+                   AS cosine
+        FROM sig a JOIN sig b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+          AND ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4) >= 0.6
     """
 
     return sql

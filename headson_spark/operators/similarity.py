@@ -72,6 +72,32 @@ def lsh_buckets(df: DataFrame, dim: int = 64, n_planes: int = 8,
         F.expr(lsh_signature_expr(vec_col, planes)).alias("bucket"))
 
 
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             dim: int = 64, n_planes: int = 8,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: random-hyperplane
+    bucket self-join (blocking) followed by exact cosine verification —
+    the all-pairs O(n^2) comparison never materializes."""
+    planes = hyperplanes(dim, n_planes)
+    sig = F.expr(lsh_signature_expr(vec_col, planes))
+    b = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    left = b.alias("a")
+    right = b.alias("b")
+    dot = (f"aggregate(zip_with(a.{vec_col}, b.{vec_col}, (x, y) -> "
+           f"cast(x as double) * cast(y as double)), 0D, "
+           f"(acc, v) -> acc + v)")
+    na = _norm_expr(f"a.{vec_col}")
+    nb = _norm_expr(f"b.{vec_col}")
+    return (left.join(right, "bucket")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .withColumn("cosine",
+                        F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 4))
+            .where(F.col("cosine") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"), "cosine"))
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     n_planes: int = 8, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
