@@ -335,6 +335,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text_stats.fingerprints(_docs(spark, sf_dir))
     q["fingerprint"] = fingerprint
 
+    def pii_mask(spark, sf_dir):
+        return text_stats.pii_mask(_docs(spark, sf_dir))
+    q["pii_mask"] = pii_mask
+
+    def repetition(spark, sf_dir):
+        return text_stats.repetition_ratio(_docs(spark, sf_dir))
+    q["repetition"] = repetition
+
     # --- similarity search (embeddings) ---
     def ann_cosine_topk(spark, sf_dir):
         return similarity.brute_force_cosine_topk(
@@ -637,6 +645,30 @@ def oracle_sql() -> dict[str, str]:
     sql["fingerprint"] = f"""
         SELECT doc_id, md5({norm}) AS fingerprint,
                LENGTH({norm}) AS norm_len
+        FROM documents
+    """
+
+    from headson_spark.operators.text_stats import EMAIL_RE, PHONE_RE
+    sql["pii_mask"] = f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>',
+                              'g'), '{PHONE_RE}', '<PHONE>', 'g')
+                   AS masked_text,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}', 0)) AS INT)
+                   AS n_emails,
+               LENGTH(regexp_replace(regexp_replace(text, '{EMAIL_RE}',
+                      '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g'))
+                   AS masked_len
+        FROM documents
+    """
+
+    tri = (f"list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
+           f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))")
+    sql["repetition"] = f"""
+        SELECT doc_id,
+               ROUND(1.0 - len(list_distinct({tri}))
+                     / CAST(GREATEST(len({tri}), 1) AS DOUBLE), 4)
+                   AS rep_ratio
         FROM documents
     """
 

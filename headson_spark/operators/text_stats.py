@@ -73,6 +73,40 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
                        f"+ 0.2 * ({len_score})"), 4).alias("quality"))
 
 
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+
+
+def pii_mask(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Mask emails/phone-shaped spans and count them — the standard
+    pre-training scrub pass, pure regexp column expressions."""
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>")
+    n_emails = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '{EMAIL_RE}', 0)"))
+    return df.select(
+        F.col(id_col), masked.alias("masked_text"),
+        n_emails.cast("int").alias("n_emails"),
+        F.length(masked).cast("bigint").alias("masked_len"))
+
+
+def repetition_ratio(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Boilerplate signal: fraction of duplicate word-trigrams
+    (1 - distinct/total); high values flag template/repetitive text."""
+    toks = tokens_expr(text_col)
+    tri = (f"transform(sequence(1, greatest(size({toks}) - 2, 1)), "
+           f"i -> array_join(slice({toks}, i, 3), ' '))")
+    return df.select(
+        F.col(id_col),
+        F.round(F.expr(
+            f"1.0 - size(array_distinct({tri})) / "
+            f"cast(greatest(size({tri}), 1) as double)"), 4)
+         .alias("rep_ratio"))
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint (md5 of lowercased, punctuation-
