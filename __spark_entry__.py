@@ -267,6 +267,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       .alias("avg_price")))
     q["range_band_join"] = range_band_join
 
+    def price_percentiles(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (li.groupBy("l_returnflag")
+                .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                      .alias("p50"),
+                     F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4)
+                      .alias("p95"),
+                     F.round(F.stddev_pop("l_extendedprice"), 4)
+                      .alias("stddev")))
+    q["price_percentiles"] = price_percentiles
+
     def event_time_buckets(spark, sf_dir):
         """Tumbling 15-minute event-time windows, batch form (the
         streaming variant lives in streaming/windows.py)."""
@@ -524,6 +535,14 @@ def oracle_sql() -> dict[str, str]:
         FROM part JOIN bands
           ON p_retailprice >= lo AND p_retailprice < hi
         GROUP BY band
+    """
+
+    sql["price_percentiles"] = """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+               ROUND(stddev_pop(l_extendedprice), 4) AS stddev
+        FROM lineitem GROUP BY l_returnflag
     """
 
     sql["event_time_buckets"] = """
