@@ -423,7 +423,7 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS ({_TRANSCRIPT_SQL})
         SELECT conv_id, COUNT(*) AS n_turns,
                MAX(turn_idx) AS max_turn,
-               SUM(LENGTH(text)) AS n_chars
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
         FROM t GROUP BY conv_id
     """
 
@@ -623,10 +623,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["token_counts"] = f"""
-        SELECT doc_id, len({toks}) AS n_tokens,
-               COALESCE(list_sum(list_transform({toks},
+        SELECT doc_id, CAST(len({toks}) AS INT) AS n_tokens,
+               CAST(COALESCE(list_sum(list_transform({toks},
                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0)
-                   AS n_subwords
+                   AS BIGINT) AS n_subwords
         FROM documents
     """
 

@@ -37,11 +37,15 @@ def normalize(rows, colnames):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = round(v, 6)
+            # dtype-tagged so a float 79.0 from one engine never silently
+            # equals an int 79 from the other (the driver's value-hash is
+            # dtype-sensitive; round-1 missed two fails because of this)
+            if isinstance(v, bool):
+                v = ("b", v)
+            elif isinstance(v, float):
+                v = ("f", "nan" if math.isnan(v) else round(v, 6))
+            elif isinstance(v, int):
+                v = ("i", v)
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=repr)
