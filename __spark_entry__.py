@@ -40,6 +40,15 @@ SIMHASH_BITS = 16
 ANN_K = 10
 LSH_PLANES = 6
 EMB_DIM = 64
+BIG_ORDER_MIN = 400000.0  # anti-join price floor (non-vacuous at all SFs)
+# The synthetic corpus has no exact-duplicate documents / embeddings, so the
+# dedup_exact and emb_near_dup oracles were vacuous 0=0 matches in round 1.
+# Both queries now plant deterministic duplicates (re-keyed copies of every
+# PLANT_MOD-th row, offset by PLANT_OFFSET) before running the *unchanged*
+# operator — the grouping / bucket-join / verify logic is what's under test.
+PLANT_MOD_DOCS = 10
+PLANT_MOD_EMB = 25
+PLANT_OFFSET = 1_000_000
 
 QUERY_VEC = [round((mix64(1000 + i) % 2_000_000) / 1_000_000.0 - 1.0, 6)
              for i in range(EMB_DIM)]
@@ -220,25 +229,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semi_join"] = semi_join
 
     def anti_join(spark, sf_dir):
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        """Customers with no large order (> BIG_ORDER_MIN). Every customer
+        has *some* order in the synthetic data, so the unfiltered anti-join
+        is vacuously empty; the price predicate keeps the anti-join
+        semantics under test and returns rows at every scale."""
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > BIG_ORDER_MIN)
         c = spark.read.parquet(f"{sf_dir}/customer.parquet")
         return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
                 .select("c_custkey", "c_name"))
     q["anti_join"] = anti_join
 
     def asof_latest_event(spark, sf_dir):
-        """As-of join: for each order, the user's latest event at or
-        before the order date (explicit formulation, not engine-native
-        ASOF, so both engines compute identical tie-breaks)."""
+        """Forward as-of join: for each order, the user's FIRST event at
+        or after the order date (pandas merge_asof direction='forward').
+        Explicit window formulation, not engine-native ASOF, so both
+        engines compute identical tie-breaks. Forward direction because
+        the synthetic event timestamps (2024) all post-date the order
+        dates (1995-2001) — the backward variant is vacuously empty."""
         from pyspark.sql import Window
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         j = (o.join(ev, (o.o_custkey == ev.user_id)
-                    & (ev.ts <= F.col("o_orderdate").cast("timestamp")))
+                    & (ev.ts >= F.col("o_orderdate").cast("timestamp")))
              .select("o_orderkey", "o_custkey", "event_id", "ts",
                      "event_type"))
         w = Window.partitionBy("o_orderkey").orderBy(
-            F.desc("ts"), F.desc("event_id"))
+            F.asc("ts"), F.asc("event_id"))
         return (j.withColumn("_rn", F.row_number().over(w))
                 .filter("_rn = 1")
                 .select("o_orderkey", "o_custkey", "event_id",
@@ -292,7 +309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup family (documents) ---
     def dedup_exact(spark, sf_dir):
-        return dedup.exact_duplicate_groups(_docs(spark, sf_dir))
+        d = _docs(spark, sf_dir)
+        planted = (d.filter(F.col("doc_id") % PLANT_MOD_DOCS == 0)
+                    .withColumn("doc_id",
+                                F.col("doc_id") + F.lit(PLANT_OFFSET)))
+        return dedup.exact_duplicate_groups(d.unionByName(planted))
     q["dedup_exact"] = dedup_exact
 
     def dedup_prefix(spark, sf_dir):
@@ -366,8 +387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_buckets"] = ann_lsh_buckets
 
     def emb_near_dup(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        planted = (e.filter(F.col("vec_id") % PLANT_MOD_EMB == 0)
+                    .withColumn("vec_id",
+                                F.col("vec_id") + F.lit(PLANT_OFFSET)))
         return similarity.embedding_near_dup_pairs(
-            _emb(spark, sf_dir), threshold=0.6, dim=EMB_DIM,
+            e.unionByName(planted), threshold=0.6, dim=EMB_DIM,
             n_planes=LSH_PLANES)
     q["emb_near_dup"] = emb_near_dup
 
@@ -504,19 +529,20 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
     """
 
-    sql["anti_join"] = """
+    sql["anti_join"] = f"""
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > {BIG_ORDER_MIN})
     """
 
     sql["asof_latest_event"] = """
         SELECT o_orderkey, o_custkey, event_id, event_type
         FROM (SELECT o.o_orderkey, o.o_custkey, e.event_id, e.event_type,
                      ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
-                         ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                         ORDER BY e.ts ASC, e.event_id ASC) AS rn
               FROM orders o JOIN events e
                 ON o.o_custkey = e.user_id
-               AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP))
+               AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP))
         WHERE rn = 1
     """
 
@@ -554,9 +580,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_exact"] = f"""
+        WITH docs2 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id, text
+            FROM documents WHERE doc_id % {PLANT_MOD_DOCS} = 0)
         SELECT md5({norm}) AS content_hash, COUNT(*) AS n_docs,
                MIN(doc_id) AS keep_id
-        FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1
     """
 
     sql["dedup_prefix"] = f"""
@@ -729,10 +760,15 @@ def oracle_sql() -> dict[str, str]:
                 f"(p, q) -> p + q))")
 
     sql["emb_near_dup"] = f"""
-        WITH sig AS (
+        WITH emb2 AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding
+            FROM embeddings WHERE vec_id % {PLANT_MOD_EMB} = 0),
+        sig AS (
             SELECT vec_id, embedding,
                    CAST({' + '.join(terms)} AS BIGINT) AS bucket
-            FROM embeddings)
+            FROM emb2)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4)
                    AS cosine
