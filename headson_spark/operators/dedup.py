@@ -153,17 +153,27 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Doc-local (no shuffle): tokens -> per-bit vote sums via aggregate() ->
     packed integer. md5 nibble math keeps the DuckDB oracle bit-identical.
     """
+    # Stage ONE md5-derived integer per token (the first ceil(bits/4) hex
+    # nibbles, MSB-first); every bit then comes from shiftright on the
+    # staged value. Round 1 evaluated md5(t) once per bit (16x per token)
+    # because the digest lived inside the per-bit lambda — Spark does not
+    # CSE across higher-order-function lambda instantiations.
+    nhex = (bits + 3) // 4
     toks = (f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
             f"x -> x != '')")
-    # votes[p] = sum over tokens of (2*bit_p(md5(tok)) - 1)
-    bit = ("((cast(conv(substring(md5(t), cast(p / 4 as int) + 1, 1), 16, 10)"
-           " as int) div cast(pow(2, 3 - p % 4) as int)) % 2)")
-    votes = (f"aggregate({toks}, array_repeat(0L, {bits}), "
-             f"(acc, t) -> zip_with(acc, "
+    staged = (df.select(F.col(id_col), F.col(text_col))
+                .withColumn("_th", F.expr(
+                    f"transform({toks}, t -> cast(conv(substring(md5(t), "
+                    f"1, {nhex}), 16, 10) as bigint))")))
+    # bit p (old nibble-wise order) == bit (4*nhex - 1 - p) of the staged
+    # integer, so the packed simhash value is unchanged vs round 1.
+    votes = (f"aggregate(_th, array_repeat(0L, {bits}), "
+             f"(acc, h) -> zip_with(acc, "
              f"transform(sequence(0, {bits - 1}), "
-             f"p -> cast(2 * {bit} - 1 as bigint)), "
+             f"p -> cast(2 * (shiftright(h, {4 * nhex - 1} - p) % 2) - 1 "
+             f"as bigint)), "
              f"(a, b) -> a + b))")
     packed = (f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
-              f"(v, p) -> case when v > 0 then cast(pow(2, p) as bigint) "
+              f"(v, p) -> case when v > 0 then shiftleft(1L, p) "
               f"else 0L end), 0L, (a, b) -> a + b)")
-    return df.select(F.col(id_col), F.expr(packed).alias("simhash"))
+    return staged.select(F.col(id_col), F.expr(packed).alias("simhash"))
