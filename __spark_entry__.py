@@ -159,12 +159,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      style="detailed", skew="tail")
     q["conv_preview_tail"] = conv_preview_tail
 
-    def conv_preview_pushdown(spark, sf_dir):
+    def conv_preview_full(spark, sf_dir):
+        # A/B twin of conv_preview: the full-shuffle pipeline (the default
+        # conv_preview dispatches to the limit-pushdown plan since round 2)
         from headson_spark.operators.preview import (
-            conversation_previews_pushdown)
-        return conversation_previews_pushdown(_t(spark, sf_dir),
-                                              budget=500, style="default")
-    q["conv_preview_pushdown"] = conv_preview_pushdown
+            conversation_previews_full)
+        return conversation_previews_full(_t(spark, sf_dir),
+                                          budget=500, style="default")
+    q["conv_preview_full"] = conv_preview_full
 
     def conv_preview_yaml(spark, sf_dir):
         return conversation_previews(_t(spark, sf_dir), budget=400,

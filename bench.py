@@ -50,17 +50,30 @@ def main():
     preview_sec = time.time() - t0
     timings["conv_preview_1m"] = round(preview_sec, 3)
 
-    # operator queries at SF_DIR
+    # A/B: the full-shuffle pipeline on the same input (the default above
+    # is the limit-pushdown plan; this shows what the pushdown saves)
+    from headson_spark.operators.preview import conversation_previews_full
+    t0 = time.time()
+    conversation_previews_full(tdf, budget=500).write.format("noop").mode(
+        "overwrite").save()
+    timings["conv_preview_1m_fullshuffle"] = round(time.time() - t0, 3)
+
+    # operator queries at SF_DIR — min of 2 runs each: the first run pays
+    # Python-worker spin-up + codegen + page-cache misses; reporting the
+    # min keeps BENCH comparable round-over-round on a shared host
     queries = entrymod.queries()
     for name in ["conv_assemble", "dedup_lww", "agg_pricing",
                  "join_top_customers", "window_latest_order",
                  "dedup_exact", "simhash16", "token_counts", "lang_id",
                  "quality", "fingerprint", "ann_cosine_topk",
                  "ann_lsh_buckets", "lsh_pairs", "default_sample"]:
-        t0 = time.time()
-        queries[name](spark, SF_DIR).write.format("noop").mode(
-            "overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     result = {

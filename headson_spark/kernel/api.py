@@ -46,7 +46,9 @@ def resolve_template(format: str, style: str) -> str:
 
 def make_configs(*, format: str = "auto", style: str = "default",
                  character_budget: int | None = None,
-                 skew: str = "balanced") -> tuple[RenderConfig, dict, int]:
+                 skew: str = "balanced",
+                 string_cap: int | None = None
+                 ) -> tuple[RenderConfig, dict, int]:
     style = style.lower()
     if style not in _STYLE_TO_JSON_TEMPLATE:
         raise ValueError(
@@ -62,8 +64,12 @@ def make_configs(*, format: str = "auto", style: str = "default",
     cfg = RenderConfig(template=template, style=style, indent_unit="  ",
                        space=" ", newline="\n",
                        prefer_tail_arrays=prefer_tail)
+    # string_cap mirrors the reference CLI's --string-cap (main.rs:66,421);
+    # the reference's own yaml-test-suite harness passes 1000000
+    # (tests/yaml_suite.rs:14-15) so untruncated round-trips need it too
     prio = {
-        "max_string_graphemes": DEFAULT_STRING_CAP,
+        "max_string_graphemes": (DEFAULT_STRING_CAP if string_cap is None
+                                 else max(int(string_cap), 0)),
         "array_max_items": max(max(budget, 1) // 2, 1),
         "sampler": skew if skew != "balanced" else "balanced",
         "prefer_tail_arrays": prefer_tail,
@@ -80,10 +86,11 @@ def _run(a: ar.Arena, cfg: RenderConfig, prio: dict, budget: int) -> str:
 
 def summarize(text: str | bytes, *, format: str = "auto",
               style: str = "default", character_budget: int | None = None,
-              skew: str = "balanced", input_format: str = "json") -> str:
+              skew: str = "balanced", input_format: str = "json",
+              string_cap: int | None = None) -> str:
     cfg, prio, budget = make_configs(
         format=format, style=style, character_budget=character_budget,
-        skew=skew)
+        skew=skew, string_cap=string_cap)
     inf = input_format.lower()
     if inf == "json":
         a = ar.build_json_arena(text, prio["array_max_items"],

@@ -222,9 +222,9 @@ def conversation_previews_pushdown(df, *, budget: int = 500,
     from pyspark.sql import functions as F
 
     if skew == "tail":
-        return conversation_previews(df, budget=budget, style=style,
-                                     skew=skew, fmt=fmt,
-                                     num_partitions=num_partitions)
+        return conversation_previews_full(df, budget=budget, style=style,
+                                          skew=skew, fmt=fmt,
+                                          num_partitions=num_partitions)
     cap = max(max(budget, 1) // 2, 1)
     if skew == "head":
         keep = F.col("turn_idx") < cap
@@ -251,9 +251,36 @@ def conversation_previews_pushdown(df, *, budget: int = 500,
 
 def conversation_previews(df, *, budget: int = 500, style: str = "default",
                           skew: str = "balanced", fmt: str = "json",
-                          num_partitions: int | None = None):
+                          num_partitions: int | None = None,
+                          pushdown: bool = True):
     """DataFrame[conv_id, turn_idx, role, text, tool, ts] ->
     DataFrame[conv_id, preview, n_turns, n_chars, preview_bytes].
+
+    Default entry point. For balanced/head skew it dispatches to the
+    limit-pushdown pipeline (sampler keep-set filtered BEFORE the conv_id
+    shuffle — the reference's parse-time limit pushdown, headson
+    src/samplers/default.rs:131-217, realized at the shuffle boundary):
+    at 100x scale the full pipeline ships every turn of every conversation
+    through the exchange, the pushdown one ships O(budget/2) turns per
+    conversation and structurally bounds the mapInPandas carry buffer.
+    `pushdown=False` forces the full-shuffle pipeline (A/B + tail skew).
+    """
+    if pushdown and skew in ("balanced", "head"):
+        return conversation_previews_pushdown(
+            df, budget=budget, style=style, skew=skew, fmt=fmt,
+            num_partitions=num_partitions)
+    return conversation_previews_full(df, budget=budget, style=style,
+                                      skew=skew, fmt=fmt,
+                                      num_partitions=num_partitions)
+
+
+def conversation_previews_full(df, *, budget: int = 500,
+                               style: str = "default",
+                               skew: str = "balanced", fmt: str = "json",
+                               num_partitions: int | None = None):
+    """Full-shuffle preview pipeline: one exchange carrying every turn,
+    sampling inside the kernel. Needed for tail skew (the keep-set
+    depends on conversation length) and kept for A/B benchmarking.
     """
     if num_partitions is None:
         # explicit count pins the exchange: AQE's size-based coalescing

@@ -21,9 +21,20 @@ def tdf(spark, transcripts_path):
     return spark.read.parquet(transcripts_path)
 
 
-def test_preview_pipeline_is_single_shuffle(spark, tdf):
-    df = conversation_previews(tdf, budget=300)
+def test_full_preview_pipeline_is_single_shuffle(spark, tdf):
+    from headson_spark.operators.preview import conversation_previews_full
+    df = conversation_previews_full(tdf, budget=300)
     assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_pushdown_preview_filters_before_shuffle(spark, tdf):
+    """Default pipeline: the sampler keep-set must reach the parquet scan
+    (PushedFilters on turn_idx), so the exchange carries O(cap) turns per
+    conversation instead of all of them."""
+    df = conversation_previews(tdf, budget=300)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and "turn_idx" in plan.split(
+        "PushedFilters")[1].split("\n")[0], plan
 
 
 def test_filter_pushdown_reaches_scan(spark, transcripts_path):

@@ -19,13 +19,10 @@ from yaml.nodes import MappingNode, ScalarNode, SequenceNode
 CORPUS = sorted(glob.glob(
     "/root/reference/tests/fixtures/yaml/yaml-test-suite/*.yaml"))
 
-# Known divergences (5 of 351): fixtures whose embedded multiline scalars
-# (escaped line-folds, !!binary blocks) re-flow differently under the YAML
-# array re-alignment. The reference's own harness normalizes via
-# yaml-rust2, which accepts these; PyYAML's composer splits the folds
-# differently. Tracked for a later round.
-KNOWN_DIVERGENT = {"565N.yaml", "9KAX.yaml", "C4HZ.yaml", "RZT7.yaml",
-                   "UGM3.yaml"}
+# Round-1 flagged 5 fixtures as "re-flow divergences"; the real cause was
+# the default string cap (500 graphemes) truncating their long embedded
+# scalars — the reference's own harness passes --string-cap 1000000
+# (tests/yaml_suite.rs:14-15). With the cap matched, all 351 round-trip.
 
 
 def _norm(node):
@@ -65,12 +62,9 @@ def _wrap(docs):
 @pytest.mark.parametrize(
     "path", CORPUS, ids=[p.rsplit("/", 1)[-1] for p in CORPUS])
 def test_yaml_roundtrip_semantic(path):
-    name = path.rsplit("/", 1)[-1]
-    if name in KNOWN_DIVERGENT:
-        pytest.xfail("known multiline-scalar re-flow divergence")
     data = open(path, "rb").read()
     out = summarize(data, format="yaml", input_format="yaml",
-                    character_budget=10**6)
+                    character_budget=10**6, string_cap=10**6)
     assert _wrap(compose_documents(data.decode("utf-8"))) == \
         _wrap(compose_documents(out))
 
