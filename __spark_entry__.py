@@ -406,11 +406,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      "digest string, digest_bytes int")
     q["corpus_digest"] = corpus_digest_q
 
-    # --- multimodal plumbing (stub decode; rows-only check) ---
+    # --- multimodal: REAL PPM decode path, DuckDB-oracled ---
     def multimodal_features(spark, sf_dir):
-        media = synth_media(_docs(spark, sf_dir), "doc_id", "text")
-        return extract_features(media, dim=8).drop("feat")
+        from headson_spark.operators.multimodal import (image_channel_stats,
+                                                        synth_ppm_media)
+        media = synth_ppm_media(_docs(spark, sf_dir), "doc_id", "text")
+        return image_channel_stats(media)
     q["multimodal_features"] = multimodal_features
+
+    # stub featureizer plumbing (audio/unknown formats; rows-only check)
+    def multimodal_stub_features(spark, sf_dir):
+        media = synth_media(_docs(spark, sf_dir), "doc_id", "text",
+                            kind="audio")
+        return extract_features(media, dim=8).drop("feat")
+    q["multimodal_stub_features"] = multimodal_stub_features
 
     return q
 
@@ -777,6 +786,32 @@ def oracle_sql() -> dict[str, str]:
         FROM sig a JOIN sig b ON a.bucket = b.bucket
         WHERE a.vec_id < b.vec_id
           AND ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4) >= 0.6
+    """
+
+    # multimodal: recompute the synthesized PPM raster bytes from the
+    # source text (printable-ASCII repeat to 768 bytes — the exact
+    # text_to_ppm construction) and average every 3rd byte per channel.
+    # 781 = 13-byte "P6\n16 16\n255\n" header + 768 raster bytes.
+    def chan_avg(offset: int) -> str:
+        return (f"list_avg([ascii(substr(s, {offset} + 3*j, 1)) "
+                f"for j in range(0, 256)])")
+
+    sql["multimodal_features"] = f"""
+        WITH c AS (
+            SELECT doc_id,
+                   COALESCE(NULLIF(regexp_replace(text, '[^ -~]', '',
+                                                  'g'), ''), 'x') AS t
+            FROM documents),
+        px AS (
+            SELECT doc_id,
+                   substr(repeat(t, CAST(768 // length(t) AS INT) + 1),
+                          1, 768) AS s
+            FROM c)
+        SELECT doc_id AS media_id, 781 AS n_bytes,
+               {chan_avg(1)} AS mean_r,
+               {chan_avg(2)} AS mean_g,
+               {chan_avg(3)} AS mean_b
+        FROM px
     """
 
     return sql
