@@ -120,6 +120,61 @@ def test_sink_skips_replayed_batch(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["preview"] == "p1"
 
 
+def test_sink_merge_out_of_order_replay_idempotent(spark, tmp_path):
+    """MERGE-semantics equivalence: overlapping keyed batches delivered
+    out of order, with replays interleaved, must converge to the same
+    final state as an in-order single delivery — the exactly-once
+    contract an Iceberg `MERGE INTO sink USING batch ON conv_id` gives.
+    Swap-in for a real catalog: KeyedParquetSink.__call__ becomes that
+    MERGE (batch_id dedup via Iceberg's write.wap / snapshot summary
+    props), read_latest becomes a plain table scan."""
+
+    def mk(batch_rows):
+        pdf = pd.DataFrame({
+            "conv_id": [r[0] for r in batch_rows],
+            "preview": [r[1] for r in batch_rows],
+            "n_turns": [1] * len(batch_rows),
+            "last_ts": [pd.Timestamp(r[2], tz="UTC") for r in batch_rows],
+            "final": [False] * len(batch_rows)})
+        return spark.createDataFrame(pdf)
+
+    batches = {
+        0: [("a", "a@0", "2026-01-01"), ("b", "b@0", "2026-01-01")],
+        1: [("a", "a@1", "2026-01-02"), ("c", "c@1", "2026-01-02")],
+        2: [("b", "b@2", "2026-01-03"), ("c", "c@2", "2026-01-01")],
+        3: [("a", "a@3", "2026-01-01"), ("d", "d@3", "2026-01-04")],
+    }
+    expected = {"a": "a@3", "b": "b@2", "c": "c@2", "d": "d@3"}
+
+    # in-order reference run
+    ref = KeyedParquetSink(str(tmp_path / "sink_ref"))
+    for b in sorted(batches):
+        ref(mk(batches[b]), b)
+    got_ref = {r["conv_id"]: r["preview"]
+               for r in ref.read_latest(spark).collect()}
+    assert got_ref == expected
+
+    # out-of-order delivery with replays sprinkled in (2 arrives before
+    # 1; 0 and 2 replayed with MUTATED content — must be ignored)
+    sink = KeyedParquetSink(str(tmp_path / "sink_ooo"))
+    sink(mk(batches[0]), 0)
+    sink(mk(batches[2]), 2)
+    sink(mk([("z", "poison", "2026-02-01")]), 0)   # replay, mutated
+    sink(mk(batches[3]), 3)
+    sink(mk(batches[1]), 1)
+    sink(mk([("z", "poison2", "2026-02-01")]), 2)  # replay, mutated
+    got = {r["conv_id"]: r["preview"]
+           for r in sink.read_latest(spark).collect()}
+    assert got == expected
+
+    # full second replay of everything: state must not change
+    for b in [3, 1, 0, 2]:
+        sink(mk([("z", "poison3", "2026-03-01")]), b)
+    got2 = {r["conv_id"]: r["preview"]
+            for r in sink.read_latest(spark).collect()}
+    assert got2 == expected
+
+
 def test_skewhot_conversation_streams_bounded(spark, tmp_path):
     """The 50k-turn hot conversation streams through the stateful kernel
     without blowing up: state is capped, the preview stays budgeted."""
