@@ -72,6 +72,12 @@ def fixture_path(tag: str) -> Path:
 # empty branch pushes indent(ctx.depth) with depth=4, and
 # core.rs push_single_array_item pushes Object items raw). Every other
 # snapshot in the corpus (182) matches byte-for-byte.
+# Round 2: attempted to settle this by building the reference CLI and
+# running it directly; `cargo fetch --locked` fails (no registry
+# reachable from this sandbox, no vendored crates, no ~/.cargo cache),
+# so the committed snapshots remain the only oracle. The xfail stays
+# strict=True: if the kernel ever matches this snapshot, the test flips
+# loudly and the analysis above must be revisited.
 KNOWN_STALE = {"e2e_tail__e2e_tail_mixed_arrays_json__json__n200.snap"}
 
 

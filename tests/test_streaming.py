@@ -52,7 +52,10 @@ def _batch_expected(spark, pdf):
     return {r["conv_id"]: r["preview"] for r in rows}
 
 
-def test_stream_matches_batch_exactly_once(spark, late_stream, tmp_path):
+@pytest.mark.parametrize("n_buckets", [None, 16],
+                         ids=["per-conv", "bucketed16"])
+def test_stream_matches_batch_exactly_once(spark, late_stream, tmp_path,
+                                           n_buckets):
     src, chunks, full = late_stream
     for i, c in enumerate(chunks):
         _write_chunk(src, i, c)
@@ -60,7 +63,7 @@ def test_stream_matches_batch_exactly_once(spark, late_stream, tmp_path):
     metrics = MetricsRecorder(str(tmp_path / "metrics.jsonl"))
     metrics.attach(spark)
     q = run_stream(spark, str(src), sink, str(tmp_path / "ckpt"),
-                   budget=500, available_now=True)
+                   budget=500, available_now=True, n_buckets=n_buckets)
     q.awaitTermination(300)
     got_df = sink.read_latest(spark)
     got = {r["conv_id"]: r["preview"] for r in got_df.collect()}
@@ -118,6 +121,49 @@ def test_sink_skips_replayed_batch(spark, tmp_path):
     sink(spark.createDataFrame(pdf2), 0)
     rows = sink.read_latest(spark).collect()
     assert len(rows) == 1 and rows[0]["preview"] == "p1"
+
+
+def test_bucketed_session_close_partial_bucket(spark, tmp_path):
+    """Bucketed engine: one conversation in a shared bucket times out
+    (session gap elapsed under the advancing watermark) and emits
+    final=True, while the other conversation in the SAME bucket stays
+    open — the bucket re-arms its timeout for the survivors."""
+    import pandas as pd
+
+    day = 24 * 3600 * 1000
+    t0 = pd.Timestamp("2026-01-01")  # tz-naive to match the source schema
+
+    def rows(conv, idxs, ts):
+        return pd.DataFrame({
+            "conv_id": [conv] * len(idxs),
+            "turn_idx": pd.array(idxs, dtype="int32"),
+            "role": ["user" if i % 2 == 0 else "assistant" for i in idxs],
+            "text": [f"{conv} turn {i}" for i in idxs],
+            "tool": [""] * len(idxs),
+            "ts": pd.Series([ts] * len(idxs),
+                            dtype="datetime64[us]")})
+
+    src = tmp_path / "close_src"
+    os.makedirs(src, exist_ok=True)
+    _write_chunk(src, 0, pd.concat([rows("conv_a", [0, 1], t0),
+                                    rows("conv_b", [0], t0)]))
+    _write_chunk(src, 1, rows("conv_b", [1], t0 + pd.Timedelta(days=20)))
+    _write_chunk(src, 2, rows("conv_b", [2], t0 + pd.Timedelta(days=40)))
+
+    sink = KeyedParquetSink(str(tmp_path / "close_sink"))
+    q = run_stream(spark, str(src), sink, str(tmp_path / "close_ckpt"),
+                   budget=500, available_now=True,
+                   watermark="1 hour", session_gap_ms=day,
+                   max_files_per_trigger=1, n_buckets=1)
+    q.awaitTermination(300)
+
+    latest = {r["conv_id"]: r for r in sink.read_latest(spark).collect()}
+    assert latest["conv_a"]["final"] is True
+    assert latest["conv_b"]["final"] is False
+    assert latest["conv_b"]["n_turns"] == 3
+    # the closed conversation's preview equals the batch pipeline's
+    batch = _batch_expected(spark, pd.concat([rows("conv_a", [0, 1], t0)]))
+    assert latest["conv_a"]["preview"] == batch["conv_a"]
 
 
 def test_sink_merge_out_of_order_replay_idempotent(spark, tmp_path):
