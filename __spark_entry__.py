@@ -49,6 +49,9 @@ BIG_ORDER_MIN = 400000.0  # anti-join price floor (non-vacuous at all SFs)
 PLANT_MOD_DOCS = 10
 PLANT_MOD_EMB = 25
 PLANT_OFFSET = 1_000_000
+# stratified sampling: cap the dominant language, keep the rest denser
+STRATA_FRACTIONS = {"en": 0.35, "es": 0.8, "de": 0.8, "fr": 0.8}
+STRATA_DEFAULT = 0.5
 
 QUERY_VEC = [round((mix64(1000 + i) % 2_000_000) / 1_000_000.0 - 1.0, 6)
              for i in range(EMB_DIM)]
@@ -340,6 +343,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          shingle_k=MINHASH_W)
     q["lsh_pairs"] = lsh_pairs
 
+    def near_dup_clusters(spark, sf_dir):
+        """Connected components over the LSH candidate graph (HashMin
+        label propagation); oracle = recursive min-label reachability."""
+        return dedup.near_dup_clusters(_docs(spark, sf_dir),
+                                       n_hashes=N_HASHES, bands=BANDS,
+                                       shingle_k=MINHASH_W)
+    q["near_dup_clusters"] = near_dup_clusters
+
+    def stratified_sample_q(spark, sf_dir):
+        return (sampling.stratified_sample(_docs(spark, sf_dir),
+                                           STRATA_FRACTIONS,
+                                           default_frac=STRATA_DEFAULT)
+                .select("doc_id", "lang"))
+    q["stratified_sample"] = stratified_sample_q
+
     def ngram_jaccard(spark, sf_dir):
         d = _docs(spark, sf_dir)
         pairs = d.select(F.col("doc_id").alias("id_a"),
@@ -630,6 +648,40 @@ def oracle_sql() -> dict[str, str]:
         FROM stacked a JOIN stacked b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
         WHERE a.doc_id < b.doc_id
+    """
+
+    sql["near_dup_clusters"] = f"""
+        WITH RECURSIVE
+        sig AS (SELECT doc_id, {', '.join(band_exprs)} FROM documents),
+        stacked AS ({band_union}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM stacked a JOIN stacked b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e
+              ON e.src = r.node),
+        cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach
+               GROUP BY node)
+        SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """
+
+    strata_case = "CASE"
+    for k in sorted(STRATA_FRACTIONS):
+        strata_case += (f" WHEN lang = '{k}' THEN "
+                        f"CAST({STRATA_FRACTIONS[k]!r} AS DOUBLE)")
+    strata_case += f" ELSE CAST({STRATA_DEFAULT!r} AS DOUBLE) END"
+    sql["stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / 1152921504606846976.0 < {strata_case}
     """
 
     sql["ngram_jaccard"] = f"""

@@ -81,6 +81,41 @@ def main():
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
+    # streaming: sustained stateful-preview throughput (bucketed state
+    # coalescing engine, 2 micro-batches of ~250k turns — large enough
+    # that the per-micro-batch fixed cost doesn't dominate)
+    stream_tps = None
+    try:
+        import shutil
+        import tempfile
+        import pyarrow.parquet as pq
+        from headson_spark.streaming.engine import (KeyedParquetSink,
+                                                    run_stream)
+        stmp = tempfile.mkdtemp(prefix="bench_stream_")
+        ssrc = os.path.join(stmp, "src")
+        os.makedirs(ssrc)
+        import pyarrow.dataset as ds
+        sn = min(n_turns, 500_000)
+        chunk = (sn + 1) // 2
+        pdf_tbl = ds.dataset(tpath).head(sn)
+        for i in range(2):
+            c = pdf_tbl.slice(i * chunk, chunk)
+            if c.num_rows:
+                pq.write_table(c, os.path.join(ssrc, f"c{i}.parquet"))
+        sink = KeyedParquetSink(os.path.join(stmp, "sink"))
+        t0 = time.time()
+        sq = run_stream(spark, ssrc, sink, os.path.join(stmp, "ckpt"),
+                        budget=500, available_now=True,
+                        session_gap_ms=7 * 24 * 3600 * 1000,
+                        watermark="2 days", max_files_per_trigger=1)
+        sq.awaitTermination(1200)
+        stream_sec = time.time() - t0
+        stream_tps = round(pdf_tbl.num_rows / stream_sec, 1)
+        timings["streaming_500k"] = round(stream_sec, 3)
+        shutil.rmtree(stmp, ignore_errors=True)
+    except Exception as e:  # keep the batch bench alive regardless
+        print(f"streaming bench skipped: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
@@ -89,6 +124,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "turns_per_sec": round(n_turns / preview_sec, 1),
+        "streaming_turns_per_sec": stream_tps,
         "bench_turns": n_turns,
         "bench_conversations": n_convs,
         "cpus": CPUS,

@@ -177,3 +177,54 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
               f"(v, p) -> case when v > 0 then shiftleft(1L, p) "
               f"else 0L end), 0L, (a, b) -> a + b)")
     return staged.select(F.col(id_col), F.expr(packed).alias("simhash"))
+
+
+def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 12,
+                      bands: int = 4, shingle_k: int = 3,
+                      max_iter: int = 30) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH
+    candidate-pair graph (HashMin label propagation — every document
+    converges to the smallest doc id reachable from it). The canonical
+    "keep one per duplicate group" primitive: keep rows where
+    cluster_id == doc_id.
+
+    Scale notes (100 TB): the edge set is the *post-LSH* candidate graph
+    (bounded, never all-pairs); each iteration is one shuffle join on it
+    and converges in O(component diameter) rounds — near-dup components
+    are shallow in practice (dup clusters are quasi-cliques), so 3-5
+    rounds typical. localCheckpoint() truncates the lineage so the plan
+    does not grow with iterations. Singleton documents never enter the
+    loop; they are restored by the final left join.
+    """
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands,
+                                shingle_k)
+    # undirected edges, both directions
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))).cache()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node"))).localCheckpoint()
+    for _ in range(max_iter):
+        # smallest label among self + neighbors
+        nbr = (edges.join(labels.withColumnRenamed("node", "dst")
+                          .withColumnRenamed("lbl", "nbr_lbl"), "dst")
+               .groupBy("src").agg(F.min("nbr_lbl").alias("nbr_min")))
+        new = (labels.join(nbr.withColumnRenamed("src", "node"),
+                           "node", "left")
+               .select("node",
+                       F.least("lbl", F.coalesce("nbr_min", "lbl"))
+                        .alias("lbl"))).localCheckpoint()
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new
+        if changed == 0:
+            break
+    return (df.select(F.col(id_col))
+            .join(labels.withColumnRenamed("node", id_col), id_col,
+                  "left")
+            .select(F.col(id_col),
+                    F.coalesce("lbl", F.col(id_col))
+                     .alias("cluster_id")))

@@ -53,3 +53,28 @@ def default_cap(df: DataFrame, cap: int,
     kept = default_kept_positions(cap, max_len)
     return (with_turn_ordinal(df)
             .filter(F.col("turn_ord").isin(kept)))
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      id_col: str = "doc_id", strat_col: str = "lang",
+                      default_frac: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum downsampling — the standard
+    training-data mixture-rebalancing step (e.g. cap English at 10%,
+    keep low-resource languages at 100%).
+
+    Keep decision: u(id) < fraction(stratum), with u(id) a uniform
+    [0,1) value derived from md5(id) (first 15 hex nibbles = 60 bits).
+    Fully deterministic and engine-independent (the same arithmetic runs
+    in the DuckDB oracle), unlike DataFrame.sampleBy which is seeded RNG
+    per partition. Pure column expressions, zero shuffle: at 100 TB this
+    is a scan-side filter.
+    """
+    u = (f"cast(conv(substring(md5(cast({id_col} as string)), 1, 15), "
+         f"16, 10) as bigint) / 1152921504606846976.0")  # / 2^60
+    frac = "CASE"
+    for k in sorted(fractions):
+        frac += f" WHEN {strat_col} = '{k}' THEN cast({fractions[k]!r} as double)"
+    frac += f" ELSE cast({default_frac!r} as double) END"
+    return (df.withColumn("_u", F.expr(u))
+              .filter(F.expr(f"_u < {frac}"))
+              .drop("_u"))

@@ -109,8 +109,14 @@ def make_stateful_preview_fn(budget: int = 500, style: str = "default",
             turn_map = {k: turn_map[k] for k in keep}
 
         state.update((json.dumps(turn_map), max_ts_us, version + 1))
-        # session-window closure: event-time timeout at max_ts + gap
-        state.setTimeoutTimestamp(max_ts_us // 1000 + session_gap_ms)
+        # session-window closure: event-time timeout at max_ts + gap.
+        # Clamp past the watermark: a late turn for an already-expired
+        # session would otherwise compute a deadline in the past and
+        # Spark rejects it (INVALID_TIMEOUT_TIMESTAMP); clamping closes
+        # the session on the next micro-batch instead.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(max_ts_us // 1000 + session_gap_ms, wm_ms + 1))
 
         if changed:
             preview = _render_from_turn_map(turn_map, cfg, prio, budget)
