@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     turns = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # engine: bucket count for state coalescing; 0 = per-conversation
+    n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    n_buckets = n_buckets or None
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     import pyarrow as pa
@@ -59,7 +62,8 @@ def main():
     q = run_stream(spark, src, sink, os.path.join(tmp, "ckpt"),
                    budget=500, available_now=True,
                    session_gap_ms=7 * 24 * 3600 * 1000,
-                   watermark="2 days", max_files_per_trigger=1)
+                   watermark="2 days", max_files_per_trigger=1,
+                   n_buckets=n_buckets)
     q.awaitTermination(3600)
     wall = time.time() - t0
 
@@ -71,6 +75,7 @@ def main():
         "metric": "streaming_turns_per_sec",
         "value": round(n / wall, 1),
         "unit": "turns/sec",
+        "n_buckets": n_buckets,
         "turns": n,
         "wall_sec": round(wall, 2),
         "micro_batches": len(progress),
