@@ -55,60 +55,202 @@ def _render_from_turn_map(turn_map: dict, cfg, prio, budget) -> str:
     return find_largest_render_under_budget(po, cfg, budget)
 
 
+# --------------------------------------------------------------------------
+# budget-bounded conversation state (balanced/head skew)
+#
+# The sampler keep-sets are prefix-closed position sets K(cap): for any
+# conversation length L the rendered turns are {rank r in K : r < L}. A
+# turn's rank (position among delivered turns) only GROWS as earlier late
+# turns arrive, and equals its dense turn_idx once the conversation is
+# complete. So a turn's content can ever be rendered iff
+# [current_rank, turn_idx] intersects K — everything else is droppable,
+# and state shrinks to O(cap) content entries + a seen-bitmap (1 bit per
+# turn) instead of the full transcript. A 50k-turn conversation holds
+# ~250 turn contents + 6.2 KB of bitmap in state instead of ~6 MB of
+# JSON-encoded turns re-serialized every micro-batch.
+
+
+def _keepset(prio, budget) -> list[int] | None:
+    """Sorted keep-set positions for the active sampler, None for tail
+    (tail kept-ness depends on final length — unbounded state path)."""
+    from ..operators.sampling import default_kept_positions
+    cap = prio["array_max_items"]
+    if prio["prefer_tail_arrays"]:
+        return None
+    if prio["sampler"] == "head":
+        return list(range(cap))
+    return sorted(default_kept_positions(cap))
+
+
+def _bits_set(bits: bytearray, idx: int) -> None:
+    need = idx // 8 + 1
+    if len(bits) < need:
+        bits.extend(b"\x00" * (need - len(bits)))
+    bits[idx // 8] |= 1 << (idx % 8)
+
+
+def _bits_ranks(bits: bytes):
+    """(total_set, rank array) — rank[i] = #set bits strictly below i."""
+    import numpy as np
+    arr = np.unpackbits(np.frombuffer(bytes(bits), dtype=np.uint8),
+                        bitorder="little")
+    cum = np.cumsum(arr)
+    total = int(cum[-1]) if len(cum) else 0
+    return total, cum - arr  # exclusive prefix sum
+
+
+def _prune_kept(st: dict, keep: list[int]) -> None:
+    """Drop turn contents that can never be rendered again: a turn at
+    dense index i with current rank r is needed iff K ∩ [r, i] != ∅
+    (rank grows monotonically toward i as missing earlier turns land)."""
+    from bisect import bisect_left
+    total, rank = _bits_ranks(st["b"])
+    st["n"] = total
+    kept = st["k"]
+    drop = []
+    for key in kept:
+        i = int(key)
+        r = int(rank[i])
+        j = bisect_left(keep, r)
+        if j >= len(keep) or keep[j] > i:
+            drop.append(key)
+    for key in drop:
+        del kept[key]
+
+
+def _render_bounded(st: dict, cfg, prio, budget,
+                    keepset: set[int]) -> str:
+    """Render from bounded state: turns whose CURRENT rank is in the
+    keep-set, as the pre-sampled arena (byte-equal to the batch pipeline
+    on the same delivered turns — the pushdown equivalence)."""
+    total, rank = _bits_ranks(st["b"])
+    picked = []
+    for key, v in st["k"].items():
+        i = int(key)
+        r = int(rank[i])
+        if r in keepset:
+            picked.append((r, v))
+    picked.sort()
+    a = ar.build_conversation_arena(
+        [v[0] for _, v in picked], [v[1] for _, v in picked],
+        [v[2] for _, v in picked],
+        prio["array_max_items"], prio["sampler"],
+        pre_sampled_indices=[r for r, _ in picked],
+        pre_sampled_total=total)
+    po = build_order(a, prio["max_string_graphemes"],
+                     prefer_tail_arrays=prio["prefer_tail_arrays"],
+                     max_pops=max(budget, 1))
+    return find_largest_render_under_budget(po, cfg, budget)
+
+
+def _st_new() -> dict:
+    return {"b": bytearray(), "k": {}, "mx": 0, "n": 0}
+
+
+def _st_to_jsonable(st: dict) -> dict:
+    import base64
+    return {"b": base64.b64encode(bytes(st["b"])).decode("ascii"),
+            "k": st["k"], "mx": st["mx"], "n": st["n"]}
+
+
+def _st_from_jsonable(d: dict) -> dict:
+    import base64
+    d["b"] = bytearray(base64.b64decode(d["b"]))
+    return d
+
+
+def _st_encode(st: dict) -> str:
+    return json.dumps(_st_to_jsonable(st))
+
+
+def _st_decode(blob: str) -> dict:
+    return _st_from_jsonable(json.loads(blob))
+
+
+def _st_merge_rows(st: dict, pdf: pd.DataFrame) -> bool:
+    """LWW-merge a micro-batch slice into bounded state; True if any
+    content or count changed."""
+    ts_us_arr = (pdf["ts"].to_numpy("datetime64[ns]")
+                 .astype("int64") // 1_000)
+    kept = st["k"]
+    bits = st["b"]
+    changed = False
+    for t_idx, role, text, tool, ts_us in zip(
+            pdf["turn_idx"].tolist(), pdf["role"].tolist(),
+            pdf["text"].tolist(), pdf["tool"].tolist(),
+            ts_us_arr.tolist()):
+        byte = t_idx // 8
+        if byte >= len(bits) or not (bits[byte] >> (t_idx % 8)) & 1:
+            _bits_set(bits, t_idx)
+            changed = True
+        key = str(t_idx)
+        prev = kept.get(key)
+        if prev is None or ts_us >= prev[3]:
+            kept[key] = [role, text, tool, ts_us]
+            changed = True
+        if ts_us > st["mx"]:
+            st["mx"] = ts_us
+    return changed
+
+
 def make_stateful_preview_fn(budget: int = 500, style: str = "default",
                              skew: str = "balanced", fmt: str = "json",
                              session_gap_ms: int = 600_000,
                              max_turns_in_state: int = 100_000):
-    """Build the applyInPandasWithState function."""
+    """Build the applyInPandasWithState function (group key = conv_id).
+
+    Balanced/head skew uses budget-bounded state (O(cap) turn contents +
+    a seen-bitmap — see the module helpers); tail skew keeps the full
+    turn map because tail kept-ness depends on the final length.
+    """
     cfg, prio, budget = make_configs(format=fmt, style=style,
                                      character_budget=budget, skew=skew)
+    keep = _keepset(prio, budget)
+    keepset = set(keep) if keep is not None else None
+
+    def render(st: dict) -> str:
+        if keep is not None:
+            return _render_bounded(st, cfg, prio, budget, keepset)
+        return _render_from_turn_map(st["k"], cfg, prio, budget)
+
+    def n_turns_of(st: dict) -> int:
+        return st["n"] if keep is not None else len(st["k"])
 
     def fn(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame],
            state: Any) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.hasTimedOut:
             # session closes: final emission, then evict state
-            turns_json, max_ts_us, version = state.get
-            turn_map = json.loads(turns_json)
-            preview = _render_from_turn_map(turn_map, cfg, prio, budget)
+            blob, max_ts_us, version = state.get
+            st = _st_decode(blob)
+            preview = render(st)
             state.remove()
             yield pd.DataFrame({
                 "conv_id": [conv_id], "preview": [preview],
-                "n_turns": [len(turn_map)],
+                "n_turns": [n_turns_of(st)],
                 "last_ts": [pd.Timestamp(max_ts_us, unit="us", tz="UTC")],
                 "final": [True]})
             return
 
         if state.exists:
-            turns_json, max_ts_us, version = state.get
-            turn_map = json.loads(turns_json)
+            blob, max_ts_us, version = state.get
+            st = _st_decode(blob)
+            st["mx"] = max_ts_us
         else:
-            turn_map, max_ts_us, version = {}, 0, 0
+            st, version = _st_new(), 0
 
         changed = False
         for pdf in pdf_iter:
-            # vectorized ts decode once per batch (ns -> us)
-            ts_us_arr = (pdf["ts"].to_numpy("datetime64[ns]")
-                         .astype("int64") // 1_000)
-            for t_idx, role, text, tool, ts_us in zip(
-                    pdf["turn_idx"].tolist(), pdf["role"].tolist(),
-                    pdf["text"].tolist(), pdf["tool"].tolist(),
-                    ts_us_arr.tolist()):
-                k = str(t_idx)
-                prev = turn_map.get(k)
-                # stateful join on (conv_id, turn_idx): last-write-wins
-                if prev is None or ts_us >= prev[3]:
-                    turn_map[k] = [role, text, tool, ts_us]
-                    changed = True
-                if ts_us > max_ts_us:
-                    max_ts_us = ts_us
-        if len(turn_map) > max_turns_in_state:
-            # hard cap against degenerate conversations (reference
-            # SAFETY_CAP precedent, scoring.rs:3)
-            keep = sorted(turn_map, key=int)[:max_turns_in_state]
-            turn_map = {k: turn_map[k] for k in keep}
+            changed = _st_merge_rows(st, pdf) or changed
+        if keep is not None:
+            _prune_kept(st, keep)
+        elif len(st["k"]) > max_turns_in_state:
+            # tail path hard cap against degenerate conversations
+            # (reference SAFETY_CAP precedent, scoring.rs:3)
+            ks = sorted(st["k"], key=int)[:max_turns_in_state]
+            st["k"] = {k: st["k"][k] for k in ks}
 
-        state.update((json.dumps(turn_map), max_ts_us, version + 1))
+        state.update((_st_encode(st), st["mx"], version + 1))
         # session-window closure: event-time timeout at max_ts + gap.
         # Clamp past the watermark: a late turn for an already-expired
         # session would otherwise compute a deadline in the past and
@@ -116,14 +258,14 @@ def make_stateful_preview_fn(budget: int = 500, style: str = "default",
         # the session on the next micro-batch instead.
         wm_ms = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
-            max(max_ts_us // 1000 + session_gap_ms, wm_ms + 1))
+            max(st["mx"] // 1000 + session_gap_ms, wm_ms + 1))
 
         if changed:
-            preview = _render_from_turn_map(turn_map, cfg, prio, budget)
+            preview = render(st)
             yield pd.DataFrame({
                 "conv_id": [conv_id], "preview": [preview],
-                "n_turns": [len(turn_map)],
-                "last_ts": [pd.Timestamp(max_ts_us, unit="us", tz="UTC")],
+                "n_turns": [n_turns_of(st)],
+                "last_ts": [pd.Timestamp(st["mx"], unit="us", tz="UTC")],
                 "final": [False]})
 
     return fn
@@ -146,12 +288,24 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
     Trade-off: the bucket's state blob is rewritten whenever any of its
     conversations change (write amplification ~bucket size). B tunes
     between per-group overhead (B too big) and amplification (B too
-    small). The per-conversation engine remains the semantics reference;
-    the gated transformWithStateInPandas path removes the trade-off
-    entirely (per-conv state granularity without per-group overhead).
+    small). Budget-bounded per-conversation state (O(cap) contents +
+    seen-bitmap) keeps the blob small even for mega-conversations. The
+    per-conversation engine remains the semantics reference; the gated
+    transformWithStateInPandas path removes the trade-off entirely
+    (per-conv state granularity without per-group overhead).
     """
     cfg, prio, budget = make_configs(format=fmt, style=style,
                                      character_budget=budget, skew=skew)
+    keep = _keepset(prio, budget)
+    keepset = set(keep) if keep is not None else None
+
+    def render(st: dict) -> str:
+        if keep is not None:
+            return _render_bounded(st, cfg, prio, budget, keepset)
+        return _render_from_turn_map(st["k"], cfg, prio, budget)
+
+    def n_turns_of(st: dict) -> int:
+        return st["n"] if keep is not None else len(st["k"])
 
     def emit(rows):
         return pd.DataFrame({
@@ -174,18 +328,19 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
         wm_ms = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
             blob, _n = state.get
-            convs = json.loads(blob)
+            convs = {cid: _st_from_jsonable(d)
+                     for cid, d in json.loads(blob).items()}
             closed, remaining = [], {}
-            for cid, c in convs.items():
-                if c["mx"] // 1000 + session_gap_ms <= wm_ms:
-                    preview = _render_from_turn_map(c["t"], cfg, prio,
-                                                    budget)
-                    closed.append((cid, preview, len(c["t"]), c["mx"],
-                                   True))
+            for cid, st in convs.items():
+                if st["mx"] // 1000 + session_gap_ms <= wm_ms:
+                    closed.append((cid, render(st), n_turns_of(st),
+                                   st["mx"], True))
                 else:
-                    remaining[cid] = c
+                    remaining[cid] = st
             if remaining:
-                state.update((json.dumps(remaining), len(remaining)))
+                state.update((json.dumps(
+                    {cid: _st_to_jsonable(st)
+                     for cid, st in remaining.items()}), len(remaining)))
                 _arm_timeout(state, remaining, wm_ms)
             else:
                 state.remove()
@@ -193,40 +348,36 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
                 yield emit(closed)
             return
 
-        convs = json.loads(state.get[0]) if state.exists else {}
+        convs = ({cid: _st_from_jsonable(d)
+                  for cid, d in json.loads(state.get[0]).items()}
+                 if state.exists else {})
         changed: set[str] = set()
         for pdf in pdf_iter:
-            ts_us_arr = (pdf["ts"].to_numpy("datetime64[ns]")
-                         .astype("int64") // 1_000)
-            for cid, t_idx, role, text, tool, ts_us in zip(
-                    pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
-                    pdf["role"].tolist(), pdf["text"].tolist(),
-                    pdf["tool"].tolist(), ts_us_arr.tolist()):
-                c = convs.get(cid)
-                if c is None:
-                    c = convs[cid] = {"t": {}, "mx": 0}
-                turn_map = c["t"]
-                k = str(t_idx)
-                prev = turn_map.get(k)
-                # stateful join on (conv_id, turn_idx), last-write-wins
-                if prev is None or ts_us >= prev[3]:
-                    turn_map[k] = [role, text, tool, ts_us]
+            # split the batch slice per conversation, merge each into its
+            # bounded state
+            for cid, grp in pdf.groupby("conv_id", sort=False):
+                st = convs.get(cid)
+                if st is None:
+                    st = convs[cid] = _st_new()
+                if _st_merge_rows(st, grp):
                     changed.add(cid)
-                if ts_us > c["mx"]:
-                    c["mx"] = ts_us
         for cid in changed:
-            tm = convs[cid]["t"]
-            if len(tm) > max_turns_in_state:
-                keep = sorted(tm, key=int)[:max_turns_in_state]
-                convs[cid]["t"] = {k: tm[k] for k in keep}
-        state.update((json.dumps(convs), len(convs)))
+            st = convs[cid]
+            if keep is not None:
+                _prune_kept(st, keep)
+            elif len(st["k"]) > max_turns_in_state:
+                ks = sorted(st["k"], key=int)[:max_turns_in_state]
+                st["k"] = {k: st["k"][k] for k in ks}
+        state.update((json.dumps(
+            {cid: _st_to_jsonable(st) for cid, st in convs.items()}),
+            len(convs)))
         _arm_timeout(state, convs, wm_ms)
         if changed:
             rows = []
             for cid in sorted(changed):
-                c = convs[cid]
-                preview = _render_from_turn_map(c["t"], cfg, prio, budget)
-                rows.append((cid, preview, len(c["t"]), c["mx"], False))
+                st = convs[cid]
+                rows.append((cid, render(st), n_turns_of(st), st["mx"],
+                             False))
             yield emit(rows)
 
     return fn

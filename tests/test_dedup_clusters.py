@@ -1,0 +1,57 @@
+"""Invariants for near-dup clustering and stratified sampling beyond the
+DuckDB oracle equality (tests/test_entry_correctness.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from headson_spark.operators.dedup import (lsh_candidate_pairs,
+                                           near_dup_clusters)
+from headson_spark.operators.sampling import stratified_sample
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_clusters_cover_all_docs_with_min_label(spark, docs):
+    cl = {r["doc_id"]: r["cluster_id"]
+          for r in near_dup_clusters(docs).collect()}
+    assert len(cl) == docs.count()
+    # HashMin: every cluster id is the smallest member id
+    assert all(cid <= d for d, cid in cl.items())
+    members = {}
+    for d, cid in cl.items():
+        members.setdefault(cid, []).append(d)
+    assert all(min(ms) == cid for cid, ms in members.items())
+
+
+def test_cluster_endpoints_of_every_candidate_pair_agree(spark, docs):
+    cl = {r["doc_id"]: r["cluster_id"]
+          for r in near_dup_clusters(docs).collect()}
+    pairs = lsh_candidate_pairs(docs).collect()
+    assert pairs, "fixture must produce candidate pairs"
+    bad = [(p["id_a"], p["id_b"]) for p in pairs
+           if cl[p["id_a"]] != cl[p["id_b"]]]
+    assert not bad, bad[:5]
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, docs):
+    fr = {"en": 0.3, "zh": 1.0}
+    a = {r["doc_id"] for r in
+         stratified_sample(docs, fr, default_frac=0.0).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs, fr, default_frac=0.0).collect()}
+    assert a == b, "hash-threshold sampling must be deterministic"
+    by_lang = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    zh_total = sum(1 for v in by_lang.values() if v == "zh")
+    zh_kept = sum(1 for d in a if by_lang[d] == "zh")
+    assert zh_kept == zh_total, "fraction 1.0 keeps the whole stratum"
+    assert all(by_lang[d] in fr for d in a), "default 0.0 drops the rest"
+    en_total = sum(1 for v in by_lang.values() if v == "en")
+    en_kept = sum(1 for d in a if by_lang[d] == "en")
+    # 0.3 +- a generous tolerance (binomial-ish, deterministic hash)
+    assert 0.15 * en_total < en_kept < 0.45 * en_total
