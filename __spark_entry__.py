@@ -375,6 +375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text_stats.token_counts(_docs(spark, sf_dir))
     q["token_counts"] = token_counts
 
+    def top_terms(spark, sf_dir):
+        return text_stats.top_terms(_docs(spark, sf_dir), k=3)
+    q["top_terms"] = top_terms
+
     def lang_id(spark, sf_dir):
         return text_stats.language_id(_docs(spark, sf_dir))
     q["lang_id"] = lang_id
@@ -722,6 +726,28 @@ def oracle_sql() -> dict[str, str]:
                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0)
                    AS BIGINT) AS n_subwords
         FROM documents
+    """
+
+    # top_terms: parenthesization mirrors the Spark expression exactly —
+    # (tf * (N+1.0)) / (df+1.0) — so the score doubles are bit-identical
+    sql["top_terms"] = f"""
+        WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+            GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+                   (tf.tf * (n.n_docs + 1.0)) / (dfreq.df_t + 1.0)
+                       AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term ASC) AS rnk
+            FROM scored)
+        SELECT doc_id, term, tf, df_t, score, CAST(rnk AS INT) AS rank
+        FROM ranked WHERE rnk <= 3
     """
 
     def hits(lang):
