@@ -238,18 +238,22 @@ def conversation_previews_pushdown(df, *, budget: int = 500,
     else:
         from .sampling import default_kept_positions
         keep = F.col("turn_idx").isin(default_kept_positions(cap))
-    # countDistinct: duplicate (conv_id, turn_idx) deliveries merge
-    # last-write-wins in the kernel, so the document length is the number
-    # of DISTINCT turns. The total travels as ONE SENTINEL ROW per
-    # conversation (turn_idx = -1, sorts first) unioned with the kept
-    # rows through the same exchange — a sort-merge join here would
-    # re-sort the whole kept set and roughly double the shuffle work
-    # when conversations are shorter than the cap (measured: 32.3 s vs
-    # 22.5 s at 8M turns/32 cores).
+    # Duplicate (conv_id, turn_idx) deliveries merge last-write-wins in
+    # the kernel, so the document length is the number of DISTINCT
+    # turns — which, under this operator's dense-0-based-turn_idx
+    # PRECONDITION (the same contract the keep-set filter relies on),
+    # equals max(turn_idx) + 1. max() aggregates map-side (one tiny row
+    # per conversation per task through the exchange); countDistinct
+    # would shuffle every deduplicated (conv_id, turn_idx) pair — a
+    # second full-width exchange, measured +60% wall at 8M turns. The
+    # total then travels as ONE SENTINEL ROW per conversation
+    # (turn_idx = -1, sorts first) unioned with the kept rows through
+    # the same exchange — a totals sort-merge join would re-sort the
+    # whole kept set (also measured: 32.3 s vs 22.5 s at 8M turns).
     kept = (df.filter(keep)
               .withColumn("_total", F.lit(None).cast("int")))
     sentinels = (df.groupBy("conv_id").agg(
-        F.countDistinct("turn_idx").cast("int").alias("_total"))
+        (F.max("turn_idx") + 1).cast("int").alias("_total"))
         .select("conv_id",
                 F.lit(-1).cast("int").alias("turn_idx"),
                 F.lit(None).cast("string").alias("role"),
