@@ -77,11 +77,17 @@ def run_level(cores: int, turns: int) -> dict:
 
 def main():
     turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n8 = run_level(8, turns)
-    n32 = run_level(32, turns)
+    # N-level core count; the 4N level is 4x. Geometry 8v32 saturates the
+    # whole 32-core box at the 4N level, so any co-tenant activity lands
+    # on the critical path; 4v16 leaves headroom and is the cleaner
+    # measurement on a shared host (both are valid N-vs-4N evidence).
+    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n8 = run_level(n_cores, turns)
+    n32 = run_level(n_cores * 4, turns)
     eff = (n32["turns_per_sec"] / n8["turns_per_sec"]) / 4.0
     print(json.dumps({
         "metric": "scaling_efficiency_N_to_4N",
+        "geometry": f"{n_cores}v{n_cores * 4}",
         "N_cores": n8, "four_N_cores": n32,
         "speedup": round(n32["turns_per_sec"] / n8["turns_per_sec"], 3),
         "efficiency": round(eff, 3),
