@@ -420,6 +420,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=LSH_PLANES)
     q["emb_near_dup"] = emb_near_dup
 
+    def emb_near_dup_banded(spark, sf_dir):
+        # the scale configuration: same total plane family split into 2
+        # bands of 3 — candidates collide in ANY band (higher recall,
+        # bounded per-band bucket width); verification stays exact
+        e = _emb(spark, sf_dir)
+        planted = (e.filter(F.col("vec_id") % PLANT_MOD_EMB == 0)
+                    .withColumn("vec_id",
+                                F.col("vec_id") + F.lit(PLANT_OFFSET)))
+        return similarity.embedding_near_dup_pairs(
+            e.unionByName(planted), threshold=0.6, dim=EMB_DIM,
+            n_planes=LSH_PLANES // 2, n_bands=2)
+    q["emb_near_dup_banded"] = emb_near_dup_banded
+
     def corpus_digest_q(spark, sf_dir):
         from headson_spark.operators.digest import corpus_digest
         d = corpus_digest(_t(spark, sf_dir), global_budget=2000,
@@ -864,6 +877,49 @@ def oracle_sql() -> dict[str, str]:
         FROM sig a JOIN sig b ON a.bucket = b.bucket
         WHERE a.vec_id < b.vec_id
           AND ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4) >= 0.6
+    """
+
+    # banded variant: same plane family split into 2 bands of 3; a pair
+    # is a candidate if it collides in ANY band (UNION dedups), exact
+    # verification unchanged — mirrors
+    # similarity.embedding_near_dup_pairs(n_planes=3, n_bands=2)
+    half = LSH_PLANES // 2
+    band_sigs = []
+    for band in range(2):
+        bterms = []
+        for p, plane in enumerate(planes[band * half:(band + 1) * half]):
+            arr = "[" + ",".join(f"CAST({float(x)!r} AS DOUBLE)"
+                                 for x in plane) + "]"
+            bdot = (f"list_reduce(list_transform(list_zip(embedding, "
+                    f"{arr}), x -> CAST(x[1] AS DOUBLE) * x[2]), "
+                    f"(a, b) -> a + b)")
+            bterms.append(f"(CASE WHEN {bdot} > 0 THEN {1 << p} ELSE 0 END)")
+        band_sigs.append(" + ".join(bterms))
+
+    sql["emb_near_dup_banded"] = f"""
+        WITH emb2 AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding
+            FROM embeddings WHERE vec_id % {PLANT_MOD_EMB} = 0),
+        sig AS (
+            SELECT vec_id, embedding,
+                   CAST({band_sigs[0]} AS BIGINT) AS b0,
+                   CAST({band_sigs[1]} AS BIGINT) AS b1
+            FROM emb2),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4)
+                       AS cosine
+            FROM sig a JOIN sig b ON a.b0 = b.b0
+            WHERE a.vec_id < b.vec_id
+            UNION
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4)
+                       AS cosine
+            FROM sig a JOIN sig b ON a.b1 = b.b1
+            WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM cand WHERE cosine >= 0.6
     """
 
     # multimodal: recompute the synthesized PPM raster bytes from the

@@ -85,6 +85,7 @@ def main():
     # coalescing engine, 2 micro-batches of ~250k turns — large enough
     # that the per-micro-batch fixed cost doesn't dominate)
     stream_tps = None
+    onclose_tps = None
     try:
         import shutil
         import tempfile
@@ -104,9 +105,16 @@ def main():
                 pq.write_table(c, os.path.join(ssrc, f"c{i}.parquet"))
         # both engines: bucketed state coalescing (wins on many small
         # conversations) and per-conversation groups (wins when few big
-        # conversations dominate); headline = the better of the two
-        for label, nb in (("streaming_500k", 512),
-                          ("streaming_500k_perconv", None)):
+        # conversations dominate); headline = the better of the two.
+        # The on_close row measures the emission-policy lever: state is
+        # fully merged but no intermediate render/emit happens (final
+        # previews render once at session close), so it bounds what the
+        # render cost is worth on this shape.
+        onclose_tps = None
+        for label, nb, policy in (
+                ("streaming_500k", 512, "on_change"),
+                ("streaming_500k_perconv", None, "on_change"),
+                ("streaming_500k_onclose", 512, "on_close")):
             sink = KeyedParquetSink(os.path.join(stmp, f"sink_{label}"))
             t0 = time.time()
             sq = run_stream(spark, ssrc, sink,
@@ -114,13 +122,16 @@ def main():
                             budget=500, available_now=True,
                             session_gap_ms=7 * 24 * 3600 * 1000,
                             watermark="2 days", max_files_per_trigger=1,
-                            n_buckets=nb)
+                            n_buckets=nb, emit_policy=policy)
             sq.awaitTermination(1200)
             stream_sec = time.time() - t0
             timings[label] = round(stream_sec, 3)
             tps = round(pdf_tbl.num_rows / stream_sec, 1)
-            stream_tps = tps if stream_tps is None else max(stream_tps,
-                                                            tps)
+            if policy == "on_close":
+                onclose_tps = tps
+            else:
+                stream_tps = tps if stream_tps is None else max(stream_tps,
+                                                                tps)
         shutil.rmtree(stmp, ignore_errors=True)
     except Exception as e:  # keep the batch bench alive regardless
         print(f"streaming bench skipped: {e}", file=sys.stderr)
@@ -134,6 +145,7 @@ def main():
         "sf": sf,
         "turns_per_sec": round(n_turns / preview_sec, 1),
         "streaming_turns_per_sec": stream_tps,
+        "streaming_onclose_turns_per_sec": onclose_tps,
         "bench_turns": n_turns,
         "bench_conversations": n_convs,
         "cpus": CPUS,

@@ -206,6 +206,7 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
                                  F.col("id_a").alias("dst")))).cache()
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("lbl", F.col("node"))).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         # smallest label among self + neighbors
         nbr = (edges.join(labels.withColumnRenamed("node", "dst")
@@ -222,9 +223,22 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
         labels = new
         if changed == 0:
             break
-    return (df.select(F.col(id_col))
-            .join(labels.withColumnRenamed("node", id_col), id_col,
-                  "left")
-            .select(F.col(id_col),
-                    F.coalesce("lbl", F.col(id_col))
-                     .alias("cluster_id")))
+    if changed > 0:
+        # a component with diameter > max_iter would return non-minimal
+        # labels: loud, because callers treat cluster_id as canonical
+        import warnings
+        warnings.warn(
+            f"near_dup_clusters: HashMin did not converge within "
+            f"{max_iter} iterations ({changed} labels still changing); "
+            f"cluster ids may be non-minimal — raise max_iter",
+            RuntimeWarning, stacklevel=2)
+    result = (df.select(F.col(id_col))
+              .join(labels.withColumnRenamed("node", id_col), id_col,
+                    "left")
+              .select(F.col(id_col),
+                      F.coalesce("lbl", F.col(id_col))
+                       .alias("cluster_id")))
+    # labels is localCheckpoint()ed (no lineage back to edges), so the
+    # cached edge set can be released before the caller consumes result
+    edges.unpersist()
+    return result

@@ -132,10 +132,21 @@ def make_presampled_preview_fn(budget: int, style: str, skew: str,
                                fmt: str):
     """mapInPandas kernel for pushed-down input: rows are already the
     sampler keep-set, PLUS one sentinel row per conversation
-    (turn_idx == -1, sorted first) whose `_total` column carries the
-    pre-filter conversation length. The sentinel travels through the
-    same single exchange as the data — no totals join, so the pushdown
-    plan costs the same as the full plan even when nothing prunes."""
+    (turn_idx == -1, sorted first) whose `_total` / `_chars` columns
+    carry the pre-filter conversation length and the sum of text lengths
+    over ALL delivered rows. The sentinel travels through the same single
+    exchange as the data — no totals join, so the pushdown plan costs the
+    same as the full plan even when nothing prunes.
+
+    n_chars semantics (matches the full pipeline: total chars over the
+    LWW-winning turns of the WHOLE conversation, not just the kept set):
+    n_chars = sentinel _chars minus the lengths of duplicate-loser
+    deliveries. Losers on KEPT positions are visible here (the keep-set
+    filter passes every delivery of a kept turn_idx) and are subtracted
+    exactly; a duplicate delivery of a NON-kept turn is invisible
+    post-filter, so its loser length stays counted — n_chars is exact
+    whenever duplicate deliveries land on keep-set positions (or nowhere)
+    and an upper bound otherwise."""
     import numpy as np
     cfg, prio, budget = make_configs(format=fmt, style=style,
                                      character_budget=budget, skew=skew)
@@ -149,7 +160,13 @@ def make_presampled_preview_fn(budget: int, style: str, skew: str,
             keep = np.empty(len(conv), dtype=bool)
             keep[-1] = True
             keep[:-1] = (conv[:-1] != conv[1:]) | (tidx[:-1] != tidx[1:])
+            loser_chars: dict = {}
             if not keep.all():
+                lose = pdf[~keep]
+                loser_chars = {
+                    c: int(s) for c, s in lose.groupby("conv_id")["text"]
+                    .apply(lambda col: sum(len(x) for x in col
+                                           if x is not None)).items()}
                 pdf = pdf[keep]
                 conv = conv[keep]
                 tidx = tidx[keep]
@@ -157,14 +174,21 @@ def make_presampled_preview_fn(budget: int, style: str, skew: str,
             texts = pdf["text"].tolist()
             tools = pdf["tool"].tolist()
             totals = pdf["_total"].to_numpy()
+            charss = pdf["_chars"].to_numpy()
             bounds = np.flatnonzero(conv[1:] != conv[:-1]) + 1
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [len(conv)]))
             out = {"conv_id": [], "preview": [], "n_turns": [],
                    "n_chars": [], "preview_bytes": []}
             for s, e in zip(starts, ends):
+                cid = conv[s]
+                chars_all = None
                 if tidx[s] == -1:  # sentinel first within the group
                     total = int(totals[s])
+                    c = charss[s]
+                    # guard both null encodings (float NaN / object None)
+                    if c is not None and c == c:
+                        chars_all = int(c)
                     s += 1
                 else:  # defensive: sentinel missing, count what we have
                     total = e - s
@@ -178,11 +202,14 @@ def make_presampled_preview_fn(budget: int, style: str, skew: str,
                     prefer_tail_arrays=prio["prefer_tail_arrays"],
                     max_pops=max(budget, 1))
                 preview = find_largest_render_under_budget(po, cfg, budget)
-                out["conv_id"].append(conv[s])
+                if chars_all is not None:
+                    n_chars = chars_all - loser_chars.get(cid, 0)
+                else:
+                    n_chars = int(sum(len(t) for t in texts[s:e]))
+                out["conv_id"].append(cid)
                 out["preview"].append(preview)
                 out["n_turns"].append(total)
-                out["n_chars"].append(
-                    int(sum(len(t) for t in texts[s:e])))
+                out["n_chars"].append(n_chars)
                 out["preview_bytes"].append(len(preview.encode("utf-8")))
             return pd.DataFrame(out)
 
@@ -218,20 +245,20 @@ def conversation_previews_pushdown(df, *, budget: int = 500,
     PRECONDITION: turn_idx is the dense 0-based position within the
     conversation (the transcript schema contract, FIXTURES.md §1) — the
     keep-sets are position-deterministic functions of the cap, so the
-    filter reproduces the kernel's sampling exactly. Supported for
+    filter reproduces the kernel's sampling exactly. Applies directly for
     balanced (mix64 keep-set) and head (prefix) skew; tail needs the
-    conversation length before filtering, so it falls back to the
-    standard pipeline.
+    conversation length before filtering and dispatches to the two-pass
+    conversation_previews_tail_pushdown.
 
-    Per-conversation totals (for omission counts) travel through a
-    row-per-conversation aggregate joined on the same hash partitioning.
+    Per-conversation totals (length + char count) travel as one sentinel
+    row per conversation through the same exchange as the kept rows.
     """
     from pyspark.sql import functions as F
 
     if skew == "tail":
-        return conversation_previews_full(df, budget=budget, style=style,
-                                          skew=skew, fmt=fmt,
-                                          num_partitions=num_partitions)
+        return conversation_previews_tail_pushdown(
+            df, budget=budget, style=style, fmt=fmt,
+            num_partitions=num_partitions)
     cap = max(max(budget, 1) // 2, 1)
     if skew == "head":
         keep = F.col("turn_idx") < cap
@@ -250,19 +277,16 @@ def conversation_previews_pushdown(df, *, budget: int = 500,
     # (turn_idx = -1, sorts first) unioned with the kept rows through
     # the same exchange — a totals sort-merge join would re-sort the
     # whole kept set (also measured: 32.3 s vs 22.5 s at 8M turns).
+    # The sentinel also carries sum(length(text)) over ALL deliveries so
+    # the kernel can report whole-conversation n_chars (LWW losers on
+    # kept positions subtracted kernel-side — see
+    # make_presampled_preview_fn for the exactness contract).
     kept = (df.filter(keep)
-              .withColumn("_total", F.lit(None).cast("int")))
-    sentinels = (df.groupBy("conv_id").agg(
-        (F.max("turn_idx") + 1).cast("int").alias("_total"))
-        .select("conv_id",
-                F.lit(-1).cast("int").alias("turn_idx"),
-                F.lit(None).cast("string").alias("role"),
-                F.lit(None).cast("string").alias("text"),
-                F.lit(None).cast("string").alias("tool"),
-                F.lit(None).cast("timestamp").alias("ts"),
-                "_total"))
+              .withColumn("_total", F.lit(None).cast("int"))
+              .withColumn("_chars", F.lit(None).cast("bigint")))
+    sentinels = _total_sentinels(df)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
-            "_total"]
+            "_total", "_chars"]
     rows = kept.select(*cols).unionByName(sentinels.select(*cols))
     if num_partitions is None:
         sc = df.sparkSession.sparkContext
@@ -274,23 +298,143 @@ def conversation_previews_pushdown(df, *, budget: int = 500,
         schema=PREVIEW_SCHEMA)
 
 
+def _conv_totals(df):
+    """Per-conversation totals: dense length (max(turn_idx)+1 under the
+    dense contract) and char count over all delivered rows. Both
+    aggregate map-side — one narrow row per conversation per task
+    through the exchange."""
+    from pyspark.sql import functions as F
+    return df.groupBy("conv_id").agg(
+        (F.max("turn_idx") + 1).cast("int").alias("_total"),
+        F.sum(F.length("text")).cast("bigint").alias("_chars"))
+
+
+def _total_sentinels(df):
+    """Totals as sentinel rows (turn_idx = -1, sorts before any data row
+    of the conversation) in the transcript row shape."""
+    from pyspark.sql import functions as F
+    return _conv_totals(df).select(
+        "conv_id",
+        F.lit(-1).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "_total", "_chars")
+
+
+def conversation_previews_tail_pushdown(df, *, budget: int = 500,
+                                        style: str = "default",
+                                        fmt: str = "json",
+                                        num_partitions: int | None = None):
+    """Tail-skew limit pushdown (two-pass). Tail kept-ness depends on the
+    conversation length, so unlike balanced/head the keep-set cannot be a
+    static scan filter. Pass 1 computes per-conversation totals (map-side
+    combined max/sum — narrow rows); pass 2 joins the totals back and
+    keeps only `turn_idx >= total - cap` BEFORE the conv_id exchange, so
+    the kernel shuffle ships O(cap) turns per conversation.
+
+    Join strategy is left to AQE: the totals side is one narrow row per
+    conversation, so it broadcasts whenever it fits (the pre-shuffle
+    pruning win); past broadcast size AQE falls back to a shuffled join
+    whose exchange is the same width the full plan pays anyway — the plan
+    degrades to ~full-plan shuffle cost but still bounds the sort +
+    Arrow + kernel input to O(cap) per conversation. Byte-equal to
+    conversation_previews_full(skew="tail") (tested on the snapshot
+    matrix incl. the 50k-turn hot conversation)."""
+    from pyspark.sql import functions as F
+
+    cap = max(max(budget, 1) // 2, 1)
+    totals = _conv_totals(df)
+    kept = (df.join(totals.select("conv_id",
+                                  F.col("_total").alias("_tt")),
+                    "conv_id")
+              .filter(F.col("turn_idx") >= F.col("_tt") - cap)
+              .drop("_tt")
+              .withColumn("_total", F.lit(None).cast("int"))
+              .withColumn("_chars", F.lit(None).cast("bigint")))
+    sentinels = totals.select(
+        "conv_id",
+        F.lit(-1).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "_total", "_chars")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "_total", "_chars"]
+    rows = kept.select(*cols).unionByName(sentinels.select(*cols))
+    if num_partitions is None:
+        sc = df.sparkSession.sparkContext
+        num_partitions = max(sc.defaultParallelism * 4, 8)
+    dist = (rows.repartition(num_partitions, "conv_id")
+                .sortWithinPartitions("conv_id", "turn_idx", "ts"))
+    return dist.mapInPandas(
+        make_presampled_preview_fn(budget, style, "tail", fmt),
+        schema=PREVIEW_SCHEMA)
+
+
+# auto-dispatch threshold: the pushdown plan pays a totals pre-scan (one
+# map-side aggregate; balanced/head) or a totals join (tail), and wins by
+# pruning the kernel exchange to O(cap) turns per conversation. Measured
+# A/B (scripts/longconv_ab.py): ~16-turn conversations leave nothing to
+# prune and the pre-scan is pure overhead (+10-19%); 2000-turn
+# conversations win 1.4x. Require at least this fraction of shuffled rows
+# pruned before choosing the pushdown plan.
+PUSHDOWN_MIN_PRUNE = 0.5
+
+
+def choose_preview_plan(df, *, budget: int = 500, skew: str = "balanced",
+                        min_prune: float = PUSHDOWN_MIN_PRUNE) -> str:
+    """Pick 'pushdown' or 'full' from input statistics: the EXACT
+    fraction of rows the keep-set filter would prune — the quantity the
+    pushdown plan's benefit is proportional to. One map-side-combined
+    avg() over a boolean of the single turn_idx column (column-pruned at
+    the scan — far cheaper than the pipeline it steers); correctly
+    row-weighted, so one mega-conversation is enough to tip the decision
+    while a short-conversation bulk keeps the full plan. For tail skew,
+    `turn_idx < cap` counts exactly min(cap, len) rows per conversation —
+    the same count the last-cap keep-set retains — so the statistic is
+    exact for all three skews. At deployment scale this comes from a
+    maintained table-stats aggregate rather than a per-query scan."""
+    from pyspark.sql import functions as F
+    cap = max(max(budget, 1) // 2, 1)
+    if skew in ("head", "tail"):
+        keep = F.col("turn_idx") < cap
+    else:
+        from .sampling import default_kept_positions
+        keep = F.col("turn_idx").isin(default_kept_positions(cap))
+    kept_frac = df.agg(F.avg(keep.cast("double"))).first()[0]
+    if kept_frac is None:
+        return "full"
+    return ("pushdown" if (1.0 - float(kept_frac)) > min_prune
+            else "full")
+
+
 def conversation_previews(df, *, budget: int = 500, style: str = "default",
                           skew: str = "balanced", fmt: str = "json",
                           num_partitions: int | None = None,
-                          pushdown: bool = True):
+                          pushdown: bool | str = "auto"):
     """DataFrame[conv_id, turn_idx, role, text, tool, ts] ->
     DataFrame[conv_id, preview, n_turns, n_chars, preview_bytes].
 
-    Default entry point. For balanced/head skew it dispatches to the
-    limit-pushdown pipeline (sampler keep-set filtered BEFORE the conv_id
-    shuffle — the reference's parse-time limit pushdown, headson
-    src/samplers/default.rs:131-217, realized at the shuffle boundary):
-    at 100x scale the full pipeline ships every turn of every conversation
-    through the exchange, the pushdown one ships O(budget/2) turns per
-    conversation and structurally bounds the mapInPandas carry buffer.
-    `pushdown=False` forces the full-shuffle pipeline (A/B + tail skew).
-    """
-    if pushdown and skew in ("balanced", "head"):
+    Default entry point. pushdown="auto" (default) chooses the plan from
+    input statistics (choose_preview_plan): the limit-pushdown pipeline
+    (sampler keep-set filtered BEFORE the conv_id shuffle — the
+    reference's parse-time limit pushdown, headson
+    src/samplers/default.rs:131-217, realized at the shuffle boundary)
+    when conversations are long enough that pruning pays for its totals
+    pre-scan, else the single-exchange full pipeline. At 100x scale the
+    full pipeline ships every turn of every conversation through the
+    exchange, the pushdown one ships O(budget/2) turns per conversation
+    and structurally bounds the mapInPandas carry buffer. pushdown=True
+    forces the pushdown plan (all skews, incl. the two-pass tail
+    variant); pushdown=False forces the full-shuffle pipeline."""
+    if pushdown == "auto":
+        plan = choose_preview_plan(df, budget=budget, skew=skew)
+    else:
+        plan = "pushdown" if pushdown else "full"
+    if plan == "pushdown":
         return conversation_previews_pushdown(
             df, budget=budget, style=style, skew=skew, fmt=fmt,
             num_partitions=num_partitions)

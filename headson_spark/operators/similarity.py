@@ -75,27 +75,59 @@ def lsh_buckets(df: DataFrame, dim: int = 64, n_planes: int = 8,
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              dim: int = 64, n_planes: int = 8,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at scale: random-hyperplane
-    bucket self-join (blocking) followed by exact cosine verification —
-    the all-pairs O(n^2) comparison never materializes."""
-    planes = hyperplanes(dim, n_planes)
-    sig = F.expr(lsh_signature_expr(vec_col, planes))
-    b = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
-    left = b.alias("a")
-    right = b.alias("b")
+                             vec_col: str = "embedding",
+                             n_bands: int = 1) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: banded
+    random-hyperplane blocking followed by exact cosine verification —
+    the all-pairs O(n^2) comparison never materializes.
+
+    Bucket-size bound: each band hashes into 2^n_planes buckets, so a
+    uniformly-spread corpus of n vectors has E[bucket width] = n /
+    2^n_planes and the per-band self-join does ~n^2 / 2^n_planes
+    comparisons. Choose n_planes ≈ log2(n / target_bucket_rows) — e.g.
+    n=10^9 and 4k-row buckets -> 18 planes — and the comparison count
+    stays ~n * target_bucket_rows regardless of corpus size; this is the
+    knob that keeps bucket width bounded BY DESIGN as n grows (the
+    round-2 default of a single coarse band grew ~(n/2^planes)^2).
+    Raising n_planes lowers per-band recall (collision prob p^n_planes,
+    p = 1 - theta/pi); n_bands > 1 compensates the MinHash way — a pair
+    is a candidate if it collides in ANY band (recall
+    1 - (1 - p^n_planes)^n_bands), with verification still exact and
+    each candidate verified once (the band-distinct is on the pair key,
+    not the vectors)."""
+    total = n_planes * n_bands
+    planes = hyperplanes(dim, total)
+    b = df.select(F.col(id_col), F.col(vec_col))
+    for band in range(n_bands):
+        band_planes = planes[band * n_planes:(band + 1) * n_planes]
+        b = b.withColumn(f"_band{band}",
+                         F.expr(lsh_signature_expr(vec_col, band_planes)))
+    # one row per (vector, band): candidates collide on (band, bucket)
+    bands_arr = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.col(f"_band{i}").alias("bucket"))
+        for i in range(n_bands)])
+    e = (b.withColumn("_bb", F.explode(bands_arr))
+          .select(id_col, vec_col,
+                  F.col("_bb.band").alias("band"),
+                  F.col("_bb.bucket").alias("bucket")))
+    left = e.alias("a")
+    right = e.alias("b")
     dot = (f"aggregate(zip_with(a.{vec_col}, b.{vec_col}, (x, y) -> "
            f"cast(x as double) * cast(y as double)), 0D, "
            f"(acc, v) -> acc + v)")
     na = _norm_expr(f"a.{vec_col}")
     nb = _norm_expr(f"b.{vec_col}")
-    return (left.join(right, "bucket")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .withColumn("cosine",
-                        F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 4))
-            .where(F.col("cosine") >= threshold)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"), "cosine"))
+    out = (left.join(right, ["band", "bucket"])
+           .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+           .withColumn("cosine",
+                       F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 4))
+           .where(F.col("cosine") >= threshold)
+           .select(F.col(f"a.{id_col}").alias("id_a"),
+                   F.col(f"b.{id_col}").alias("id_b"), "cosine"))
+    # a pair colliding in several bands verifies once per band; dedup is
+    # only needed (and only paid) in the multi-band configuration
+    return out.distinct() if n_bands > 1 else out
 
 
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,

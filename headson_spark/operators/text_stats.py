@@ -129,23 +129,35 @@ def top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     rank-boundary ties.
 
     Scale shape (100 TB): explode -> two map-side-combined aggregations
-    (tf by (doc, term); df by term) -> broadcast-able term-frequency dim
-    joined back -> per-doc window top-k. No all-pairs, no driver loops
-    (the single count() is one scalar).
+    (tf by (doc, term); df by term) -> term-frequency dim joined back ->
+    per-doc window top-k. No all-pairs, no driver loops. The dim-join
+    strategy is deliberately left to AQE: at bench scale the vocabulary
+    is tiny and AQE picks a broadcast join from the MEASURED size of the
+    dfreq aggregate; at 100 TB the distinct-term table is O(vocabulary)
+    — potentially tens of GB — and a forced broadcast hint would bypass
+    the size check and OOM the executors, so AQE degrades it to a
+    shuffled join on `term` instead. N (the corpus document count) rides
+    in as a broadcast cross join of a one-row aggregate — no driver-side
+    count() action per invocation.
     """
     from pyspark.sql import Window
 
-    if n_docs is None:
-        n_docs = df.count()
     toks = tokens_expr(text_col)
     tf = (df.select(F.col(id_col), F.explode(F.expr(toks)).alias("term"))
             .groupBy(id_col, "term")
             .agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
-    scored = (tf.join(F.broadcast(dfreq), "term")
+    if n_docs is not None:
+        n1 = F.lit(float(n_docs + 1))
+    else:
+        ndocs = df.agg((F.count("*").cast("double") + F.lit(1.0))
+                       .alias("_n1"))
+        tf = tf.crossJoin(F.broadcast(ndocs))  # one row — always safe
+        n1 = F.col("_n1")
+    scored = (tf.join(dfreq, "term")
                 .withColumn("score",
-                            (F.col("tf") * F.lit(float(n_docs + 1)))
-                            / (F.col("df_t") + F.lit(1.0))))
+                            (F.col("tf") * n1) / (F.col("df_t") + F.lit(1.0)))
+                .drop("_n1"))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"),
                                            F.asc("term"))
     return (scored.withColumn("rank", F.row_number().over(w))

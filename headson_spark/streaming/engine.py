@@ -144,19 +144,37 @@ def _render_bounded(st: dict, cfg, prio, budget,
 
 
 def _st_new() -> dict:
-    return {"b": bytearray(), "k": {}, "mx": 0, "n": 0}
+    # v counts completed merge rounds for this conversation (drives the
+    # every_k emission policy)
+    return {"b": bytearray(), "k": {}, "mx": 0, "n": 0, "v": 0}
 
 
 def _st_to_jsonable(st: dict) -> dict:
     import base64
     return {"b": base64.b64encode(bytes(st["b"])).decode("ascii"),
-            "k": st["k"], "mx": st["mx"], "n": st["n"]}
+            "k": st["k"], "mx": st["mx"], "n": st["n"],
+            "v": st.get("v", 0)}
 
 
 def _st_from_jsonable(d: dict) -> dict:
     import base64
     d["b"] = bytearray(base64.b64decode(d["b"]))
+    d.setdefault("v", 0)
     return d
+
+
+def _should_emit(policy: str, every: int, version: int) -> bool:
+    """Intermediate-emission decision (final timeout emissions always
+    fire). on_change: every update; on_close: never (the render itself is
+    skipped — one render per conversation total); every_k: every k-th
+    merge round that changed the conversation."""
+    if policy == "on_change":
+        return True
+    if policy == "on_close":
+        return False
+    if policy == "every_k":
+        return version % max(every, 1) == 0
+    raise ValueError(f"unknown emit_policy: {policy!r}")
 
 
 def _st_encode(st: dict) -> str:
@@ -167,9 +185,17 @@ def _st_decode(blob: str) -> dict:
     return _st_from_jsonable(json.loads(blob))
 
 
-def _st_merge_rows(st: dict, pdf: pd.DataFrame) -> bool:
+def _st_merge_rows(st: dict, pdf: pd.DataFrame,
+                   max_idx: int = 100_000) -> bool:
     """LWW-merge a micro-batch slice into bounded state; True if any
-    content or count changed."""
+    content or count changed.
+
+    max_idx guards the seen-bitmap against contract-violating rows: the
+    bitmap is O(max turn_idx / 8) bytes of per-conversation state, so a
+    poisoned turn_idx of e.g. 2^31 would balloon state to 256 MB and a
+    negative one would corrupt the bitmap via Python negative indexing.
+    Rows outside [0, max_idx) are dropped (same SAFETY_CAP posture as the
+    reference, scoring.rs:3) rather than crashing the query."""
     ts_us_arr = (pdf["ts"].to_numpy("datetime64[ns]")
                  .astype("int64") // 1_000)
     kept = st["k"]
@@ -179,6 +205,8 @@ def _st_merge_rows(st: dict, pdf: pd.DataFrame) -> bool:
             pdf["turn_idx"].tolist(), pdf["role"].tolist(),
             pdf["text"].tolist(), pdf["tool"].tolist(),
             ts_us_arr.tolist()):
+        if t_idx < 0 or t_idx >= max_idx:
+            continue
         byte = t_idx // 8
         if byte >= len(bits) or not (bits[byte] >> (t_idx % 8)) & 1:
             _bits_set(bits, t_idx)
@@ -196,13 +224,25 @@ def _st_merge_rows(st: dict, pdf: pd.DataFrame) -> bool:
 def make_stateful_preview_fn(budget: int = 500, style: str = "default",
                              skew: str = "balanced", fmt: str = "json",
                              session_gap_ms: int = 600_000,
-                             max_turns_in_state: int = 100_000):
+                             max_turns_in_state: int = 100_000,
+                             emit_policy: str = "on_change",
+                             emit_every: int = 8):
     """Build the applyInPandasWithState function (group key = conv_id).
 
     Balanced/head skew uses budget-bounded state (O(cap) turn contents +
     a seen-bitmap — see the module helpers); tail skew keeps the full
     turn map because tail kept-ness depends on the final length.
+
+    emit_policy controls intermediate emissions (final session-close
+    emissions always fire): "on_change" re-renders every changed
+    conversation per micro-batch; "on_close" skips ALL intermediate
+    renders (one render per conversation at session close — the
+    throughput mode when only final previews matter); "every_k" renders
+    a changed conversation only on its every emit_every-th merge round.
+    All policies converge to identical final (final=True) rows.
     """
+    if emit_policy not in ("on_change", "on_close", "every_k"):
+        raise ValueError(f"unknown emit_policy: {emit_policy!r}")
     cfg, prio, budget = make_configs(format=fmt, style=style,
                                      character_budget=budget, skew=skew)
     keep = _keepset(prio, budget)
@@ -241,7 +281,8 @@ def make_stateful_preview_fn(budget: int = 500, style: str = "default",
 
         changed = False
         for pdf in pdf_iter:
-            changed = _st_merge_rows(st, pdf) or changed
+            changed = (_st_merge_rows(st, pdf, max_turns_in_state)
+                       or changed)
         if keep is not None:
             _prune_kept(st, keep)
         elif len(st["k"]) > max_turns_in_state:
@@ -260,7 +301,7 @@ def make_stateful_preview_fn(budget: int = 500, style: str = "default",
         state.setTimeoutTimestamp(
             max(st["mx"] // 1000 + session_gap_ms, wm_ms + 1))
 
-        if changed:
+        if changed and _should_emit(emit_policy, emit_every, version + 1):
             preview = render(st)
             yield pd.DataFrame({
                 "conv_id": [conv_id], "preview": [preview],
@@ -277,7 +318,9 @@ BUCKET_STATE_SCHEMA = "blob string, n_convs int"
 def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
                              skew: str = "balanced", fmt: str = "json",
                              session_gap_ms: int = 600_000,
-                             max_turns_in_state: int = 100_000):
+                             max_turns_in_state: int = 100_000,
+                             emit_policy: str = "on_change",
+                             emit_every: int = 8):
     """Bucketed state coalescing: the stateful group key is
     pmod(xxhash64(conv_id), B) instead of conv_id, so ONE
     applyInPandasWithState group invocation carries ~n_convs/B
@@ -293,7 +336,15 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
     per-conversation engine remains the semantics reference; the gated
     transformWithStateInPandas path removes the trade-off entirely
     (per-conv state granularity without per-group overhead).
+
+    emit_policy: see make_stateful_preview_fn — "on_change" (default),
+    "on_close" (no intermediate renders; with bounded state the render
+    is the dominant per-batch cost, so this is the bulk-throughput
+    mode), "every_k" (render every emit_every-th changed round per
+    conversation). Final timeout emissions are policy-independent.
     """
+    if emit_policy not in ("on_change", "on_close", "every_k"):
+        raise ValueError(f"unknown emit_policy: {emit_policy!r}")
     cfg, prio, budget = make_configs(format=fmt, style=style,
                                      character_budget=budget, skew=skew)
     keep = _keepset(prio, budget)
@@ -359,10 +410,11 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
                 st = convs.get(cid)
                 if st is None:
                     st = convs[cid] = _st_new()
-                if _st_merge_rows(st, grp):
+                if _st_merge_rows(st, grp, max_turns_in_state):
                     changed.add(cid)
         for cid in changed:
             st = convs[cid]
+            st["v"] = st.get("v", 0) + 1
             if keep is not None:
                 _prune_kept(st, keep)
             elif len(st["k"]) > max_turns_in_state:
@@ -376,9 +428,12 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
             rows = []
             for cid in sorted(changed):
                 st = convs[cid]
+                if not _should_emit(emit_policy, emit_every, st["v"]):
+                    continue
                 rows.append((cid, render(st), n_turns_of(st), st["mx"],
                              False))
-            yield emit(rows)
+            if rows:
+                yield emit(rows)
 
     return fn
 
@@ -387,20 +442,39 @@ def streaming_previews(stream_df, *, budget: int = 500,
                        style: str = "default", skew: str = "balanced",
                        fmt: str = "json", watermark: str = "10 minutes",
                        session_gap_ms: int = 600_000,
-                       n_buckets: int | None = 512):
+                       n_buckets: int | None = 512,
+                       emit_policy: str = "on_change",
+                       emit_every: int = 8):
     """stream_df: streaming DataFrame with the transcript schema.
 
     n_buckets engages bucketed state coalescing (the throughput path —
     per-group applyInPandasWithState overhead amortized across
     ~n_convs/n_buckets conversations per group); None selects the
     per-conversation reference engine. Both produce identical rows.
+
+    emit_policy: "on_change" (default) / "on_close" / "every_k" — see
+    make_stateful_preview_fn. All policies agree on final (final=True)
+    rows; on_close trades intermediate visibility for throughput.
+
+    CHECKPOINT COMPATIBILITY: round 2 changed BOTH the stateful group
+    key (bucketed coalescing by pmod(xxhash64(conv_id), n_buckets) is
+    now the default) and the per-conversation state blob layout
+    (turn-map JSON -> base64 seen-bitmap + bounded keep-set dict).
+    Checkpoints written by the round-1 engine fail Spark's state
+    key/schema validation (or _st_decode) on resume — resume pre-round-2
+    jobs with a NEW checkpoint dir, or pass n_buckets=None to keep the
+    per-conversation grouping explicitly (its round-1 blobs are still
+    incompatible). The same applies when changing n_buckets between
+    runs: the bucket count is baked into the state key space.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     if n_buckets:
         fn = make_bucketed_preview_fn(budget, style, skew, fmt,
-                                      session_gap_ms)
+                                      session_gap_ms,
+                                      emit_policy=emit_policy,
+                                      emit_every=emit_every)
         return (stream_df
                 .withWatermark("ts", watermark)
                 .withColumn("_bucket",
@@ -411,7 +485,9 @@ def streaming_previews(stream_df, *, budget: int = 500,
                     fn, OUTPUT_SCHEMA, BUCKET_STATE_SCHEMA, "update",
                     GroupStateTimeout.EventTimeTimeout))
 
-    fn = make_stateful_preview_fn(budget, style, skew, fmt, session_gap_ms)
+    fn = make_stateful_preview_fn(budget, style, skew, fmt, session_gap_ms,
+                                  emit_policy=emit_policy,
+                                  emit_every=emit_every)
     return (stream_df
             .withWatermark("ts", watermark)
             .groupBy("conv_id")
@@ -485,9 +561,13 @@ def run_stream(spark, source_dir: str, sink: KeyedParquetSink,
                watermark: str = "10 minutes",
                session_gap_ms: int = 600_000, available_now: bool = True,
                max_files_per_trigger: int | None = None,
-               n_buckets: int | None = 512):
+               n_buckets: int | None = 512,
+               emit_policy: str = "on_change", emit_every: int = 8):
     """File-source streaming job (swap readStream.format('iceberg') for an
-    Iceberg catalog deployment — same plan otherwise)."""
+    Iceberg catalog deployment — same plan otherwise).
+
+    checkpoint_dir must be NEW when upgrading across the round-2 state
+    format change or when changing n_buckets — see streaming_previews."""
     schema = ("conv_id string, turn_idx int, role string, text string, "
               "tool string, ts timestamp")
     reader = (spark.readStream.schema(schema))
@@ -497,7 +577,9 @@ def run_stream(spark, source_dir: str, sink: KeyedParquetSink,
     out = streaming_previews(src, budget=budget, style=style, skew=skew,
                              watermark=watermark,
                              session_gap_ms=session_gap_ms,
-                             n_buckets=n_buckets)
+                             n_buckets=n_buckets,
+                             emit_policy=emit_policy,
+                             emit_every=emit_every)
     writer = (out.writeStream
               .foreachBatch(sink)
               .outputMode("update")

@@ -25,8 +25,9 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from headson_spark.session import get_spark
-    from headson_spark.operators.preview import (conversation_previews,
-                                                 conversation_previews_full)
+    from headson_spark.operators.preview import (
+        conversation_previews, conversation_previews_full,
+        conversation_previews_pushdown, conversation_previews_tail_pushdown)
 
     spark = get_spark("longconv_ab", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
@@ -52,13 +53,30 @@ def main():
     a = {r["conv_id"]: r["preview"]
          for r in conversation_previews_full(sample, budget=500).collect()}
     b = {r["conv_id"]: r["preview"]
-         for r in conversation_previews(sample, budget=500).collect()}
+         for r in conversation_previews_pushdown(sample,
+                                                 budget=500).collect()}
     assert a == b, "pushdown output diverged from full pipeline"
+    at = {r["conv_id"]: r["preview"]
+          for r in conversation_previews_full(sample, budget=500,
+                                              skew="tail").collect()}
+    bt = {r["conv_id"]: r["preview"]
+          for r in conversation_previews_tail_pushdown(
+              sample, budget=500).collect()}
+    assert at == bt, "tail pushdown output diverged from full pipeline"
+
+    def tail_full(d, **k):
+        return conversation_previews_full(d, skew="tail", **k)
 
     result = {"metric": "longconv_pushdown_ab", "turns": n,
               "convs": n_convs, "turns_per_conv": turns, "cpus": cpus}
+    # auto_sec includes the dispatcher's stats scan — on this shape it
+    # must choose the pushdown plan and land within noise of pushdown_sec
     for name, f in (("full_sec", conversation_previews_full),
-                    ("pushdown_sec", conversation_previews)):
+                    ("pushdown_sec", conversation_previews_pushdown),
+                    ("auto_sec", conversation_previews),
+                    ("tail_full_sec", tail_full),
+                    ("tail_pushdown_sec",
+                     conversation_previews_tail_pushdown)):
         runs = []
         for _ in range(3):
             t0 = time.time()

@@ -69,7 +69,9 @@ def run_level(cores: int, turns: int) -> dict:
     # and Arrow threads and the N-vs-4N comparison is meaningless
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
            WORKER, str(cores), str(turns), repo]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    # large-input levels (24M turns at 8 pinned cores ≈ 20+ min incl.
+    # fixture generation) need headroom beyond the original 20-min cap
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
     return json.loads(out.stdout.strip().splitlines()[-1])

@@ -28,10 +28,10 @@ def test_full_preview_pipeline_is_single_shuffle(spark, tdf):
 
 
 def test_pushdown_preview_filters_before_shuffle(spark, tdf):
-    """Default pipeline: the sampler keep-set must reach the parquet scan
+    """Pushdown pipeline: the sampler keep-set must reach the parquet scan
     (PushedFilters on turn_idx), so the exchange carries O(cap) turns per
     conversation instead of all of them."""
-    df = conversation_previews(tdf, budget=300)
+    df = conversation_previews(tdf, budget=300, pushdown=True)
     plan = formatted_plan(df)
     assert "PushedFilters" in plan and "turn_idx" in plan.split(
         "PushedFilters")[1].split("\n")[0], plan

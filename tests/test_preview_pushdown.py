@@ -1,15 +1,17 @@
-"""Pushdown preview pipeline == full-shuffle pipeline, byte-for-byte,
-while shipping only the sampler keep-set through the shuffle. As of round
-2 `conversation_previews` dispatches to the pushdown plan for
-balanced/head skew, so the A/B here is explicit full vs pushdown."""
+"""Pushdown preview pipelines == full-shuffle pipeline on EVERY output
+column (preview bytes, n_turns, whole-conversation n_chars,
+preview_bytes), while shipping only the sampler keep-set through the
+shuffle. The fixture's "late" conversations carry duplicate deliveries on
+kept positions, so the full-row equality exercises the sentinel-chars
+LWW-loser subtraction, not just the rendered bytes."""
 
 from __future__ import annotations
 
 import pytest
 
-from headson_spark.operators.preview import (conversation_previews,
-                                             conversation_previews_full,
-                                             conversation_previews_pushdown)
+from headson_spark.operators.preview import (
+    choose_preview_plan, conversation_previews, conversation_previews_full,
+    conversation_previews_pushdown, conversation_previews_tail_pushdown)
 
 
 @pytest.fixture(scope="module")
@@ -17,39 +19,108 @@ def tdf(spark, transcripts_path):
     return spark.read.parquet(transcripts_path)
 
 
+def _rows(df):
+    return {r["conv_id"]: (r["preview"], r["n_turns"], r["n_chars"],
+                           r["preview_bytes"]) for r in df.collect()}
+
+
 @pytest.mark.parametrize("skew", ["balanced", "head"])
 @pytest.mark.parametrize("budget", [120, 500])
 def test_pushdown_equals_full(spark, tdf, skew, budget):
-    a = {r["conv_id"]: (r["preview"], r["n_turns"])
-         for r in conversation_previews_full(
-             tdf, budget=budget, skew=skew).collect()}
-    b = {r["conv_id"]: (r["preview"], r["n_turns"])
-         for r in conversation_previews_pushdown(
-             tdf, budget=budget, skew=skew).collect()}
+    a = _rows(conversation_previews_full(tdf, budget=budget, skew=skew))
+    b = _rows(conversation_previews_pushdown(tdf, budget=budget,
+                                             skew=skew))
     assert set(a) == set(b)
     diffs = [k for k in a if a[k] != b[k]]
     assert not diffs, (diffs[:3], a[diffs[0]], b[diffs[0]]) if diffs else ""
 
 
-def test_default_dispatch_is_pushdown(spark, tdf):
-    """The default entry point must produce the pushdown result (and the
-    same bytes as the full pipeline)."""
-    a = {r["conv_id"]: r["preview"]
-         for r in conversation_previews(tdf, budget=300).collect()}
-    b = {r["conv_id"]: r["preview"]
-         for r in conversation_previews_pushdown(
-             tdf, budget=300).collect()}
+def test_forced_dispatch_is_pushdown(spark, tdf):
+    """pushdown=True must produce the pushdown result (and the same bytes
+    as the full pipeline)."""
+    a = _rows(conversation_previews(tdf, budget=300, pushdown=True))
+    b = _rows(conversation_previews_pushdown(tdf, budget=300))
     assert a == b
 
 
-def test_pushdown_tail_falls_back(spark, tdf):
-    a = {r["conv_id"]: r["preview"]
-         for r in conversation_previews_full(
-             tdf, budget=300, skew="tail").collect()}
-    b = {r["conv_id"]: r["preview"]
-         for r in conversation_previews_pushdown(
-             tdf, budget=300, skew="tail").collect()}
+@pytest.mark.parametrize("budget", [120, 500])
+def test_tail_pushdown_equals_full(spark, tdf, budget):
+    """Two-pass tail pushdown: byte-equal to the full pipeline on the
+    whole fixture matrix incl. the 50k-turn hot conversation."""
+    a = _rows(conversation_previews_full(tdf, budget=budget, skew="tail"))
+    b = _rows(conversation_previews_tail_pushdown(tdf, budget=budget))
+    assert set(a) == set(b)
+    diffs = [k for k in a if a[k] != b[k]]
+    assert not diffs, (diffs[:3], a[diffs[0]], b[diffs[0]]) if diffs else ""
+
+
+def _long_conv_df(spark, n_convs=3, n_turns=1200):
+    rows = []
+    for c in range(n_convs):
+        for t in range(n_turns):
+            rows.append((f"clong_{c:03d}", t, "user", f"turn {t} text",
+                         "", None))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+
+def test_auto_dispatch_decision(spark, tdf):
+    """The adaptive dispatcher must pick the full plan where nothing
+    prunes (short conversations — the totals pre-scan would be pure
+    overhead) and the pushdown plan where pruning dominates: long
+    conversations, and ALSO a short-conversation bulk with one
+    mega-conversation (row-weighted prune fraction — most shuffled rows
+    belong to the hot conversation)."""
+    short = tdf.filter("conv_id not like 'cskewhot%' "
+                       "and conv_id not like 'cbig%'")
+    assert choose_preview_plan(short, budget=500) == "full"
+    assert choose_preview_plan(short, budget=500, skew="tail") == "full"
+    # fixture incl. the 50k-turn hot conversation: 98% of rows prune
+    assert choose_preview_plan(tdf, budget=500) == "pushdown"
+    long_df = _long_conv_df(spark)
+    assert choose_preview_plan(long_df, budget=500) == "pushdown"
+    assert choose_preview_plan(long_df, budget=500,
+                               skew="tail") == "pushdown"
+    # both dispatch targets agree on the long shape too
+    a = _rows(conversation_previews(long_df, budget=500))  # auto->pushdown
+    b = _rows(conversation_previews_full(long_df, budget=500))
     assert a == b
+
+
+def test_pushdown_nchars_upper_bound_on_unkept_dup(spark):
+    """Documented exactness contract: a duplicate delivery on a NON-kept
+    position is invisible to the pushdown kernel post-filter, so n_chars
+    counts it (upper bound); duplicates on kept positions subtract
+    exactly."""
+    from headson_spark.operators.sampling import default_kept_positions
+    budget = 500
+    cap = max(budget // 2, 1)
+    kept = set(default_kept_positions(cap))
+    n = 600
+    unkept = min(i for i in range(n) if i not in kept)
+    in_kept = min(i for i in kept)
+    rows = []
+    for t in range(n):
+        rows.append(("cdup_0", t, "user", f"turn {t}", "", 1_000_000 + t))
+    # later-ts duplicate deliveries: these are the LWW WINNERS, making
+    # the original deliveries at those positions the losers
+    rows.append(("cdup_0", unkept, "user", "V2-UNKEPT", "", 2_000_000))
+    rows.append(("cdup_0", in_kept, "user", "V2-KEPT-XYZ", "", 2_000_001))
+    df = (spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_us long")
+        .selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                    "timestamp_micros(ts_us) as ts"))
+    full = _rows(conversation_previews_full(df, budget=budget))
+    push = _rows(conversation_previews_pushdown(df, budget=budget))
+    # the original delivery of the duplicated UNKEPT turn is the LWW
+    # loser; its length stays counted in the pushdown n_chars
+    loser_len = len(f"turn {unkept}")
+    assert push["cdup_0"][2] == full["cdup_0"][2] + loser_len
+    # everything else (preview bytes, n_turns) still matches exactly
+    assert push["cdup_0"][0] == full["cdup_0"][0]
+    assert push["cdup_0"][1] == full["cdup_0"][1]
 
 
 def test_pushdown_reduces_shuffle_rows(spark, tdf):

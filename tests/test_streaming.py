@@ -265,3 +265,88 @@ def test_rolling_window_previews(spark, tmp_path):
     for r in rows:
         assert r["preview"].startswith("{")
         assert r["n_turns"] > 0
+
+
+def _policy_rows(conv, idxs, ts):
+    return pd.DataFrame({
+        "conv_id": [conv] * len(idxs),
+        "turn_idx": pd.array(idxs, dtype="int32"),
+        "role": ["user" if i % 2 == 0 else "assistant" for i in idxs],
+        "text": [f"{conv} turn {i}" for i in idxs],
+        "tool": [""] * len(idxs),
+        "ts": pd.Series([ts] * len(idxs), dtype="datetime64[us]")})
+
+
+@pytest.mark.parametrize("n_buckets", [None, 2],
+                         ids=["per-conv", "bucketed2"])
+def test_emit_policies_agree_on_final_states(spark, tmp_path, n_buckets):
+    """on_change / on_close / every_k must converge to identical
+    final (final=True) rows; on_close must emit NOTHING before close."""
+    day = 24 * 3600 * 1000
+    t0 = pd.Timestamp("2026-01-01")
+
+    src = tmp_path / f"pol_src_{n_buckets}"
+    os.makedirs(src, exist_ok=True)
+    # conv_a and conv_b grow over 3 micro-batches, then a far-future
+    # turn for conv_c advances the watermark past their session gap
+    _write_chunk(src, 0, pd.concat([_policy_rows("conv_a", [0, 1], t0),
+                                    _policy_rows("conv_b", [0], t0)]))
+    _write_chunk(src, 1, pd.concat([
+        _policy_rows("conv_a", [2], t0 + pd.Timedelta(minutes=1)),
+        _policy_rows("conv_b", [1], t0 + pd.Timedelta(minutes=1))]))
+    _write_chunk(src, 2, _policy_rows("conv_a", [3],
+                                      t0 + pd.Timedelta(minutes=2)))
+    _write_chunk(src, 3, _policy_rows("conv_c", [0],
+                                      t0 + pd.Timedelta(days=30)))
+
+    finals, intermediates = {}, {}
+    for policy in ("on_change", "on_close", "every_k"):
+        sink = KeyedParquetSink(
+            str(tmp_path / f"pol_sink_{n_buckets}_{policy}"))
+        q = run_stream(
+            spark, str(src), sink,
+            str(tmp_path / f"pol_ckpt_{n_buckets}_{policy}"),
+            budget=500, available_now=True, watermark="1 hour",
+            session_gap_ms=day, max_files_per_trigger=1,
+            n_buckets=n_buckets, emit_policy=policy, emit_every=2)
+        q.awaitTermination(300)
+        all_rows = spark.read.parquet(
+            *[os.path.join(sink.path, f"batch={b}")
+              for b in sink.committed()
+              if os.path.exists(os.path.join(sink.path, f"batch={b}"))]
+        ).collect()
+        finals[policy] = {r["conv_id"]: (r["preview"], r["n_turns"])
+                          for r in all_rows if r["final"]}
+        intermediates[policy] = [r for r in all_rows if not r["final"]]
+
+    assert finals["on_change"] == finals["on_close"] == finals["every_k"]
+    assert set(finals["on_change"]) == {"conv_a", "conv_b"}
+    assert not intermediates["on_close"], \
+        "on_close must skip all intermediate emissions"
+    assert len(intermediates["every_k"]) < len(
+        intermediates["on_change"]), \
+        "every_k must emit less often than on_change"
+
+
+def test_merge_rows_rejects_contract_violating_turn_idx():
+    """Bitmap state guard: negative turn_idx must not corrupt the bitmap
+    via Python negative indexing and a huge turn_idx must not balloon
+    state; both rows are dropped, valid rows still merge."""
+    from headson_spark.streaming.engine import (_st_merge_rows, _st_new,
+                                                _bits_ranks)
+    st = _st_new()
+    pdf = pd.DataFrame({
+        "turn_idx": pd.array([0, -5, 1, 2 ** 31 - 1, 1], dtype="int64"),
+        "role": ["user"] * 5,
+        "text": ["ok0", "poison-neg", "ok1", "poison-huge", "ok1-v2"],
+        "tool": [""] * 5,
+        "ts": pd.Series([pd.Timestamp("2026-01-01")] * 4
+                        + [pd.Timestamp("2026-01-02")],
+                        dtype="datetime64[us]")})
+    changed = _st_merge_rows(st, pdf, max_idx=100_000)
+    assert changed
+    total, _ = _bits_ranks(st["b"])
+    assert total == 2  # only turns 0 and 1 registered
+    assert set(st["k"]) == {"0", "1"}
+    assert st["k"]["1"][1] == "ok1-v2"  # LWW still applied
+    assert len(st["b"]) <= 100_000 // 8 + 1

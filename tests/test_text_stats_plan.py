@@ -1,0 +1,45 @@
+"""top_terms plan shape: the vocabulary document-frequency dim must NOT
+be force-broadcast (at 100 TB it is O(vocabulary) and a forced hint
+bypasses Spark's size check); the only broadcast hint allowed is the
+one-row corpus-count aggregate. AQE still picks a broadcast join for the
+dim at bench scale — from its measured size, not a hint."""
+
+from __future__ import annotations
+
+import pytest
+
+from headson_spark.operators.text_stats import top_terms
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"alpha beta gamma doc{i} term{i % 7} common words here")
+            for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_no_forced_broadcast_of_vocab_dim(spark, docs):
+    plan = _analyzed(top_terms(docs, k=2))
+    # exactly one hint: the broadcast of the 1-row document-count
+    # aggregate; zero hints on the dfreq vocabulary join
+    assert plan.count("ResolvedHint") == 1, plan
+    assert "UnresolvedHint" not in plan
+
+
+def test_no_hint_at_all_when_ndocs_supplied(spark, docs):
+    plan = _analyzed(top_terms(docs, k=2, n_docs=40))
+    assert "ResolvedHint" not in plan, plan
+
+
+def test_explicit_ndocs_matches_inferred(spark, docs):
+    """The broadcast-crossJoin N and an explicitly supplied n_docs must
+    produce bit-identical scores (same double arithmetic)."""
+    a = {(r["doc_id"], r["term"]): (r["score"], r["rank"])
+         for r in top_terms(docs, k=3).collect()}
+    b = {(r["doc_id"], r["term"]): (r["score"], r["rank"])
+         for r in top_terms(docs, k=3, n_docs=40).collect()}
+    assert a == b
