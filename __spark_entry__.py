@@ -433,6 +433,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=LSH_PLANES // 2, n_bands=2)
     q["emb_near_dup_banded"] = emb_near_dup_banded
 
+    def emb_near_dup_clusters(spark, sf_dir):
+        # the dedup composition at scale: banded-blocked verified pairs
+        # -> HashMin connected components -> keep-one-per-cluster label
+        from headson_spark.operators.dedup import hashmin_components
+        e = _emb(spark, sf_dir)
+        planted = (e.filter(F.col("vec_id") % PLANT_MOD_EMB == 0)
+                    .withColumn("vec_id",
+                                F.col("vec_id") + F.lit(PLANT_OFFSET)))
+        e2 = e.unionByName(planted)
+        pairs = similarity.embedding_near_dup_pairs(
+            e2, threshold=0.6, dim=EMB_DIM,
+            n_planes=LSH_PLANES // 2, n_bands=2)
+        labels = hashmin_components(pairs)
+        return (e2.select("vec_id")
+                .join(labels.withColumnRenamed("node", "vec_id"),
+                      "vec_id", "left")
+                .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                        F.coalesce("lbl", F.col("vec_id"))
+                         .cast("bigint").alias("cluster_id")))
+    q["emb_near_dup_clusters"] = emb_near_dup_clusters
+
     def corpus_digest_q(spark, sf_dir):
         from headson_spark.operators.digest import corpus_digest
         d = corpus_digest(_t(spark, sf_dir), global_budget=2000,
@@ -920,6 +941,47 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.b1 = b.b1
             WHERE a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine FROM cand WHERE cosine >= 0.6
+    """
+
+    sql["emb_near_dup_clusters"] = f"""
+        WITH RECURSIVE
+        emb2 AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding
+            FROM embeddings WHERE vec_id % {PLANT_MOD_EMB} = 0),
+        sig AS (
+            SELECT vec_id, embedding,
+                   CAST({band_sigs[0]} AS BIGINT) AS b0,
+                   CAST({band_sigs[1]} AS BIGINT) AS b1
+            FROM emb2),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4)
+                       AS cosine
+            FROM sig a JOIN sig b ON a.b0 = b.b0
+            WHERE a.vec_id < b.vec_id
+            UNION
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4)
+                       AS cosine
+            FROM sig a JOIN sig b ON a.b1 = b.b1
+            WHERE a.vec_id < b.vec_id),
+        pairs AS (SELECT id_a, id_b FROM cand WHERE cosine >= 0.6),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e
+              ON e.src = r.node),
+        cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach
+               GROUP BY node)
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               CAST(COALESCE(cc.cluster_id, e.vec_id) AS BIGINT)
+                   AS cluster_id
+        FROM emb2 e LEFT JOIN cc ON cc.node = e.vec_id
     """
 
     # multimodal: recompute the synthesized PPM raster bytes from the

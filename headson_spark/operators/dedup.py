@@ -199,11 +199,31 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
     """
     pairs = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands,
                                 shingle_k)
+    labels = hashmin_components(pairs, max_iter=max_iter)
+    return (df.select(F.col(id_col))
+            .join(labels.withColumnRenamed("node", id_col), id_col,
+                  "left")
+            .select(F.col(id_col),
+                    F.coalesce("lbl", F.col(id_col))
+                     .alias("cluster_id")))
+
+
+def hashmin_components(pairs: DataFrame, left: str = "id_a",
+                       right: str = "id_b",
+                       max_iter: int = 30) -> DataFrame:
+    """Connected components over an arbitrary pair DataFrame via HashMin
+    label propagation: DataFrame[left, right] -> DataFrame[node, lbl]
+    where lbl is the smallest id reachable from node. Only nodes that
+    appear in a pair are returned (callers restore singletons with a
+    left join + coalesce). One shuffle join per round, O(component
+    diameter) rounds; the same engine serves text near-dup clusters
+    (MinHash/LSH pairs) and embedding near-dup clusters (banded
+    hyperplane pairs)."""
     # undirected edges, both directions
-    edges = (pairs.select(F.col("id_a").alias("src"),
-                          F.col("id_b").alias("dst"))
-             .union(pairs.select(F.col("id_b").alias("src"),
-                                 F.col("id_a").alias("dst")))).cache()
+    edges = (pairs.select(F.col(left).alias("src"),
+                          F.col(right).alias("dst"))
+             .union(pairs.select(F.col(right).alias("src"),
+                                 F.col(left).alias("dst")))).cache()
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("lbl", F.col("node"))).localCheckpoint()
     changed = 0
@@ -228,17 +248,11 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
         # labels: loud, because callers treat cluster_id as canonical
         import warnings
         warnings.warn(
-            f"near_dup_clusters: HashMin did not converge within "
+            f"hashmin_components: did not converge within "
             f"{max_iter} iterations ({changed} labels still changing); "
             f"cluster ids may be non-minimal — raise max_iter",
             RuntimeWarning, stacklevel=2)
-    result = (df.select(F.col(id_col))
-              .join(labels.withColumnRenamed("node", id_col), id_col,
-                    "left")
-              .select(F.col(id_col),
-                      F.coalesce("lbl", F.col(id_col))
-                       .alias("cluster_id")))
     # labels is localCheckpoint()ed (no lineage back to edges), so the
-    # cached edge set can be released before the caller consumes result
+    # cached edge set can be released before the caller consumes labels
     edges.unpersist()
-    return result
+    return labels

@@ -55,3 +55,37 @@ def test_stratified_sample_deterministic_and_bounded(spark, docs):
     en_kept = sum(1 for d in a if by_lang[d] == "en")
     # 0.3 +- a generous tolerance (binomial-ish, deterministic hash)
     assert 0.15 * en_total < en_kept < 0.45 * en_total
+
+
+def test_hashmin_components_on_arbitrary_pairs(spark):
+    """Public CC primitive: path + triangle + singleton-free output."""
+    from headson_spark.operators.dedup import hashmin_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id_a int, id_b int")
+    lbl = {r["node"]: r["lbl"]
+           for r in hashmin_components(pairs).collect()}
+    assert lbl == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_hashmin_warns_when_not_converged(spark):
+    """A path graph with diameter > max_iter must raise the documented
+    RuntimeWarning instead of silently returning non-minimal labels."""
+    import warnings
+    from headson_spark.operators.dedup import hashmin_components
+    # path 0-1-2-...-9: min label needs ~9 rounds to reach node 9
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  "id_a int, id_b int")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        hashmin_components(pairs, max_iter=2).collect()
+    assert any("did not converge" in str(x.message) for x in w), \
+        [str(x.message) for x in w]
+    # and with enough rounds it converges warning-free to the min label
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        lbl = {r["node"]: r["lbl"]
+               for r in hashmin_components(pairs, max_iter=30).collect()}
+    assert not any("did not converge" in str(x.message) for x in w2)
+    assert set(lbl.values()) == {0}
