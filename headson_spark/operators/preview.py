@@ -383,9 +383,23 @@ def conversation_previews_tail_pushdown(df, *, budget: int = 500,
 # pruned before choosing the pushdown plan.
 PUSHDOWN_MIN_PRUNE = 0.5
 
+# decision memo keyed by (analyzed-plan semantic hash, cap, keep-shape):
+# a resident pipeline re-previews the same table many times and the
+# decision is a pure function of the input plan — don't re-pay the stats
+# scan per call. Bounded (decisions are tiny); cleared via
+# clear_plan_cache(). Caveat: files appended to a source dir between
+# calls are invisible to the memo until it is cleared — acceptable for a
+# dispatch heuristic (both plans are byte-equal).
+_PLAN_DECISIONS: dict = {}
+
+
+def clear_plan_cache() -> None:
+    _PLAN_DECISIONS.clear()
+
 
 def choose_preview_plan(df, *, budget: int = 500, skew: str = "balanced",
-                        min_prune: float = PUSHDOWN_MIN_PRUNE) -> str:
+                        min_prune: float = PUSHDOWN_MIN_PRUNE,
+                        use_cache: bool = True) -> str:
     """Pick 'pushdown' or 'full' from input statistics: the EXACT
     fraction of rows the keep-set filter would prune — the quantity the
     pushdown plan's benefit is proportional to. One map-side-combined
@@ -399,16 +413,30 @@ def choose_preview_plan(df, *, budget: int = 500, skew: str = "balanced",
     maintained table-stats aggregate rather than a per-query scan."""
     from pyspark.sql import functions as F
     cap = max(max(budget, 1) // 2, 1)
-    if skew in ("head", "tail"):
+    shape = "prefix" if skew in ("head", "tail") else "balanced"
+    key = None
+    if use_cache:
+        try:
+            key = (df._jdf.queryExecution().analyzed().semanticHash(),
+                   cap, shape, min_prune)
+        except Exception:
+            key = None
+        if key is not None and key in _PLAN_DECISIONS:
+            return _PLAN_DECISIONS[key]
+    if shape == "prefix":
         keep = F.col("turn_idx") < cap
     else:
         from .sampling import default_kept_positions
         keep = F.col("turn_idx").isin(default_kept_positions(cap))
     kept_frac = df.agg(F.avg(keep.cast("double"))).first()[0]
     if kept_frac is None:
-        return "full"
-    return ("pushdown" if (1.0 - float(kept_frac)) > min_prune
-            else "full")
+        plan = "full"
+    else:
+        plan = ("pushdown" if (1.0 - float(kept_frac)) > min_prune
+                else "full")
+    if key is not None:
+        _PLAN_DECISIONS[key] = plan
+    return plan
 
 
 def conversation_previews(df, *, budget: int = 500, style: str = "default",

@@ -30,20 +30,31 @@ from .engine import OUTPUT_SCHEMA, _render_from_turn_map
 
 TURN_KEY_SCHEMA = "turn_idx int"
 TURN_VALUE_SCHEMA = "role string, text string, tool string, ts_us long"
-META_SCHEMA = "max_ts_us long"
+META_SCHEMA = "max_ts_us long, rounds int"
 
 
 class PreviewProcessor:
-    """StatefulProcessor holding per-conversation turns in MapState."""
+    """StatefulProcessor holding per-conversation turns in MapState.
+
+    emit_policy mirrors engine.py: "on_change" (default) emits every
+    changed round, "on_close" emits only the final render at timer
+    expiry, "every_k" emits a changed conversation on its every
+    emit_every-th merge round. Final emissions are policy-independent.
+    """
 
     def __init__(self, budget: int = 500, style: str = "default",
                  skew: str = "balanced", fmt: str = "json",
-                 session_gap_ms: int = 600_000):
+                 session_gap_ms: int = 600_000,
+                 emit_policy: str = "on_change", emit_every: int = 8):
+        if emit_policy not in ("on_change", "on_close", "every_k"):
+            raise ValueError(f"unknown emit_policy: {emit_policy!r}")
         self.budget = budget
         self.style = style
         self.skew = skew
         self.fmt = fmt
         self.session_gap_ms = session_gap_ms
+        self.emit_policy = emit_policy
+        self.emit_every = emit_every
 
     # --- StatefulProcessor interface ---
 
@@ -76,7 +87,12 @@ class PreviewProcessor:
                         ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         changed = False
-        max_ts_us = self.meta.get()[0] if self.meta.exists() else 0
+        if self.meta.exists():
+            meta = self.meta.get()
+            max_ts_us = meta[0]
+            rounds = meta[1] if len(meta) > 1 else 0
+        else:
+            max_ts_us, rounds = 0, 0
         for pdf in rows:
             ts_us_arr = (pdf["ts"].to_numpy("datetime64[ns]")
                          .astype("int64") // 1_000)
@@ -94,13 +110,22 @@ class PreviewProcessor:
                     changed = True
                 if ts_us > max_ts_us:
                     max_ts_us = ts_us
-        self.meta.update((int(max_ts_us),))
+        if changed:
+            rounds += 1
+        self.meta.update((int(max_ts_us), int(rounds)))
         # session closure timer at max event time + gap
         self.handle.registerTimer(max_ts_us // 1000 + self.session_gap_ms)
-        if changed:
+        if changed and self._should_emit(rounds):
             out = self._emit(conv_id, final=False)
             if out is not None:
                 yield out
+
+    def _should_emit(self, rounds: int) -> bool:
+        if self.emit_policy == "on_change":
+            return True
+        if self.emit_policy == "on_close":
+            return False
+        return rounds % max(self.emit_every, 1) == 0
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo
                            ) -> Iterator[pd.DataFrame]:
@@ -122,8 +147,12 @@ def streaming_previews_tws(stream_df, *, budget: int = 500,
                            style: str = "default", skew: str = "balanced",
                            fmt: str = "json",
                            watermark: str = "10 minutes",
-                           session_gap_ms: int = 600_000):
-    proc = PreviewProcessor(budget, style, skew, fmt, session_gap_ms)
+                           session_gap_ms: int = 600_000,
+                           emit_policy: str = "on_change",
+                           emit_every: int = 8):
+    proc = PreviewProcessor(budget, style, skew, fmt, session_gap_ms,
+                            emit_policy=emit_policy,
+                            emit_every=emit_every)
     return (stream_df
             .withWatermark("ts", watermark)
             .groupBy("conv_id")

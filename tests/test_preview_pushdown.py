@@ -88,6 +88,27 @@ def test_auto_dispatch_decision(spark, tdf):
     assert a == b
 
 
+def test_dispatch_decision_is_memoized(spark, tdf):
+    """Same analyzed plan + cap -> the stats scan runs once; a
+    semantically different input gets its own decision."""
+    from headson_spark.operators.preview import (_PLAN_DECISIONS,
+                                                 clear_plan_cache)
+    clear_plan_cache()
+    try:
+        p1 = choose_preview_plan(tdf, budget=500)
+        assert len(_PLAN_DECISIONS) == 1
+        assert choose_preview_plan(tdf, budget=500) == p1
+        assert len(_PLAN_DECISIONS) == 1
+        choose_preview_plan(tdf.filter("conv_id like 'cplain%'"),
+                            budget=500)
+        assert len(_PLAN_DECISIONS) == 2
+        # different cap = different keep-set = separate decision
+        choose_preview_plan(tdf, budget=120)
+        assert len(_PLAN_DECISIONS) == 3
+    finally:
+        clear_plan_cache()
+
+
 def test_pushdown_nchars_upper_bound_on_unkept_dup(spark):
     """Documented exactness contract: a duplicate delivery on a NON-kept
     position is invisible to the pushdown kernel post-filter, so n_chars

@@ -124,8 +124,9 @@ def _batch(rows):
                         dtype="datetime64[ns]")})
 
 
-def run_tws(batches, budget=500, expire=True):
-    proc = PreviewProcessor(budget=budget, session_gap_ms=GAP_MS)
+def run_tws(batches, budget=500, expire=True, **proc_kwargs):
+    proc = PreviewProcessor(budget=budget, session_gap_ms=GAP_MS,
+                            **proc_kwargs)
     handle = FakeHandle()
     proc.init(handle)
     out = []
@@ -247,6 +248,31 @@ def test_reference_engine_removes_state_on_close():
     _, state = run_reference([_batch([(0, "user", "x", "",
                                        "2026-01-01T00:00:00")])])
     assert state.removed
+
+
+def test_tws_emit_policies_agree_on_final_state():
+    """on_change / on_close / every_k: identical final render, the
+    documented intermediate-emission counts (3 changed rounds; every_k
+    with k=2 emits on round 2 only)."""
+    batches = [
+        _batch([(0, "user", "a", "", "2026-01-01T00:00:00")]),
+        _batch([(1, "assistant", "b", "", "2026-01-01T00:00:01")]),
+        _batch([(2, "user", "c", "", "2026-01-01T00:00:02")]),
+    ]
+    finals = {}
+    for policy, expect_inter in (("on_change", 3), ("on_close", 0),
+                                 ("every_k", 1)):
+        out, _ = run_tws(batches, emit_policy=policy, emit_every=2)
+        inter = [o for o in out if not o.iloc[0]["final"]]
+        assert len(inter) == expect_inter, (policy, len(inter))
+        finals[policy] = out[-1].iloc[0]["preview"]
+        assert out[-1].iloc[0]["final"]
+    assert len(set(finals.values())) == 1
+
+
+def test_tws_rejects_unknown_policy():
+    with pytest.raises(ValueError):
+        PreviewProcessor(emit_policy="sometimes")
 
 
 def test_emission_count_parity_on_unchanged_batch():
