@@ -40,6 +40,8 @@ SIMHASH_BITS = 16
 ANN_K = 10
 LSH_PLANES = 6
 EMB_DIM = 64
+IVF_STRIDE = 32   # deterministic sampled centroids: vec_id % stride == 0
+IVF_PROBES = 4
 BIG_ORDER_MIN = 400000.0  # anti-join price floor (non-vacuous at all SFs)
 # The synthetic corpus has no exact-duplicate documents / embeddings, so the
 # dedup_exact and emb_near_dup oracles were vacuous 0=0 matches in round 1.
@@ -454,6 +456,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .cast("bigint").alias("cluster_id")))
     q["emb_near_dup_clusters"] = emb_near_dup_clusters
 
+    def ivf_assign(spark, sf_dir):
+        return similarity.ivf_assign(_emb(spark, sf_dir),
+                                     stride=IVF_STRIDE)
+    q["ivf_assign"] = ivf_assign
+
+    def ivf_topk(spark, sf_dir):
+        return similarity.ivf_topk(_emb(spark, sf_dir), QUERY_VEC,
+                                   k=ANN_K, n_probe=IVF_PROBES,
+                                   stride=IVF_STRIDE)
+    q["ivf_topk"] = ivf_topk
+
     def corpus_digest_q(spark, sf_dir):
         from headson_spark.operators.digest import corpus_digest
         d = corpus_digest(_t(spark, sf_dir), global_budget=2000,
@@ -856,6 +869,59 @@ def oracle_sql() -> dict[str, str]:
                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                                (a, b) -> a + b)) * {qnorm!r}), 4) AS cosine
             FROM embeddings)
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
+    """
+
+    # IVF: identical strided centroids, arg-min L2 assignment (ties by
+    # centroid id), probe the query's nearest lists, exact re-rank —
+    # mirrors similarity.ivf_assign / ivf_topk
+    def l2sq(a, b):
+        return (f"list_reduce(list_transform(list_zip({a}, {b}), "
+                f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+                f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), "
+                f"(p, q) -> p + q)")
+
+    _ivf_assign_cte = f"""
+        cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+        assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {l2sq('e.embedding', 'c.cvec')},
+                                    c.centroid_id) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+            WHERE rn = 1)
+    """
+
+    sql["ivf_assign"] = f"""
+        WITH {_ivf_assign_cte}
+        SELECT vec_id, centroid_id FROM assign
+    """
+
+    sql["ivf_topk"] = f"""
+        WITH {_ivf_assign_cte},
+        probes AS (
+            SELECT centroid_id FROM cents
+            ORDER BY {l2sq('cvec', qv)}, centroid_id
+            LIMIT {IVF_PROBES}),
+        cand AS (
+            SELECT e.vec_id, e.embedding
+            FROM embeddings e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probes p ON p.centroid_id = a.centroid_id),
+        scored AS (
+            SELECT vec_id,
+                   ROUND(list_reduce(list_transform(
+                             list_zip(embedding, {qv}),
+                             x -> CAST(x[1] AS DOUBLE) * x[2]),
+                             (a, b) -> a + b)
+                         / (sqrt(list_reduce(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                               (a, b) -> a + b)) * {qnorm!r}), 4) AS cosine
+            FROM cand)
         SELECT vec_id, cosine FROM scored
         ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
     """

@@ -130,6 +130,72 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     return out.distinct() if n_bands > 1 else out
 
 
+def _l2sq_expr(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(cast(x as double) - cast(y as double)) * "
+            f"(cast(x as double) - cast(y as double))), 0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def ivf_centroids(df: DataFrame, stride: int = 32,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic sampled centroids for the IVF coarse quantizer:
+    every stride-th vector by id (the standard sampled-centroid IVF
+    baseline — engine-independent and reproducible anywhere, unlike a
+    seeded k-means; Lloyd refinement is an optional deployment step that
+    only moves the centroids, not the algorithm)."""
+    return (df.filter((F.col(id_col) % stride) == 0)
+              .select(F.col(id_col).alias("centroid_id"),
+                      F.col(vec_col).alias("_cvec")))
+
+
+def ivf_assign(df: DataFrame, stride: int = 32, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF indexing step: assign every vector to its nearest centroid
+    (arg-min L2, ties broken by centroid id — deterministic).
+
+    Plan shape (100 TB): the centroid table is k rows and broadcasts;
+    the cross join + min-aggregation collapses map-side (all k distance
+    rows of a vector are produced in the same task), so the exchange
+    carries one narrow (id, centroid) row per vector. In deployment the
+    assignment is materialized partitioned BY centroid_id, making a
+    query's probe a partition-pruned read (same pattern as the LSH
+    bucket path)."""
+    cents = ivf_centroids(df, stride, id_col, vec_col)
+    d2 = _l2sq_expr(vec_col, "_cvec")
+    return (df.crossJoin(F.broadcast(cents))
+            .withColumn("_d2", F.expr(d2))
+            .groupBy(id_col)
+            .agg(F.min(F.struct(F.col("_d2").alias("d"),
+                                F.col("centroid_id").alias("c")))
+                 .alias("_m"))
+            .select(F.col(id_col),
+                    F.col("_m.c").alias("centroid_id")))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_probe: int = 4, stride: int = 32,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN query: rank centroids by distance to the query, probe the
+    n_probe nearest inverted lists, exact cosine re-rank inside them.
+    Recall/latency knob = n_probe (n_probe = k_centroids degrades to the
+    exact brute force). Everything stays in-plan — no driver collect."""
+    arr = ("array(" + ",".join(f"cast({float(x)!r} as double)"
+                               for x in query_vec) + ")")
+    cents = ivf_centroids(df, stride, id_col, vec_col)
+    probes = (cents.withColumn("_qd", F.expr(_l2sq_expr("_cvec", arr)))
+              .orderBy("_qd", "centroid_id")
+              .limit(n_probe)
+              .select("centroid_id"))
+    cand_ids = (ivf_assign(df, stride, id_col, vec_col)
+                .join(F.broadcast(probes), "centroid_id")
+                .select(id_col))
+    cand = df.join(cand_ids, id_col, "semi")
+    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     n_planes: int = 8, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

@@ -179,3 +179,48 @@ def test_mega_conversation_spans_arrow_batches(spark, tdf):
         spark.conf.set(key, old)
     assert a == b
     assert a["cskewhot_000000"][1] == 50_000
+
+
+@pytest.mark.parametrize("budget", [60, 500])
+@pytest.mark.parametrize("skew", ["balanced", "head", "tail"])
+def test_edge_shape_matrix_pushdown_equals_full(spark, budget, skew):
+    """Crafted edge shapes, one union table, full-row equality across all
+    three plans: single-turn, empty-text, length exactly cap / cap±1,
+    fully-duplicated conversation (every turn redelivered later), ts-tie
+    duplicates, and a conversation whose turns all arrive with equal ts."""
+    from headson_spark.operators.preview import (
+        conversation_previews_pushdown, conversation_previews_tail_pushdown)
+    cap = max(budget // 2, 1)
+    rows = []
+
+    def conv(cid, n, dup_every=None, ts_tie=False, empty=False):
+        for t in range(n):
+            ts = 1_000_000 if ts_tie else 1_000_000 + t
+            text = "" if empty else f"{cid} turn {t} xyz"
+            rows.append((cid, t, "user", text, "", ts))
+            if dup_every and t % dup_every == 0:
+                rows.append((cid, t, "user", f"{cid} V2 {t}", "",
+                             ts + 500))
+
+    conv("one_turn", 1)
+    conv("empty_text", 3, empty=True)
+    conv("exact_cap", cap)
+    conv("cap_plus1", cap + 1)
+    conv("cap_minus1", max(cap - 1, 1))
+    conv("all_dup", 7, dup_every=1)
+    conv("ts_tie", 5, ts_tie=True)
+    conv("longer", 3 * cap + 5, dup_every=None)
+    df = (spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_us long")
+        .selectExpr("conv_id", "turn_idx", "role", "text", "tool",
+                    "timestamp_micros(ts_us) as ts"))
+    full = _rows(conversation_previews_full(df, budget=budget, skew=skew))
+    if skew == "tail":
+        push = _rows(conversation_previews_tail_pushdown(df, budget=budget))
+    else:
+        push = _rows(conversation_previews_pushdown(df, budget=budget,
+                                                    skew=skew))
+    assert set(full) == set(push)
+    diffs = {k: (full[k], push[k]) for k in full if full[k] != push[k]}
+    assert not diffs, diffs
