@@ -456,6 +456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .cast("bigint").alias("cluster_id")))
     q["emb_near_dup_clusters"] = emb_near_dup_clusters
 
+    def rolling_fp(spark, sf_dir):
+        return text_stats.rolling_fingerprint(_docs(spark, sf_dir))
+    q["rolling_fp"] = rolling_fp
+
     def ivf_assign(spark, sf_dir):
         return similarity.ivf_assign(_emb(spark, sf_dir),
                                      stride=IVF_STRIDE)
@@ -832,6 +836,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5({norm}) AS fingerprint,
                LENGTH({norm}) AS norm_len
         FROM documents
+    """
+
+    # rolling-hash fingerprint: identical left-fold polynomial hash.
+    # DuckDB's list_reduce has no initial accumulator, so 0 is prepended;
+    # range(a, b) is exclusive-of-b (Python-style) = Spark sequence(1, n).
+    from headson_spark.operators.text_stats import RH_BASE, RH_MOD
+    _rh_fold = f"(acc, c) -> (acc * {RH_BASE} + c) % {RH_MOD}"
+    _rh_codes = (f"[CAST(ascii(substr(n, i, 1)) AS BIGINT) "
+                 f"for i in range(1, GREATEST(LENGTH(n), 1) + 1)]")
+    sql["rolling_fp"] = f"""
+        WITH staged AS (
+            SELECT doc_id, {norm} AS n FROM documents),
+        coded AS (
+            SELECT doc_id, n, {_rh_codes} AS codes FROM staged)
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                           {_rh_fold}) AS doc_fp,
+               list_aggregate(
+                   [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                             list_slice(codes, i, i + 15)),
+                                {_rh_fold})
+                    for i in range(1, GREATEST(len(codes) - 15, 1) + 1)],
+                   'min') AS win_fp,
+               CAST(LENGTH(n) AS INTEGER) AS norm_len
+        FROM coded
     """
 
     from headson_spark.operators.text_stats import EMAIL_RE, PHONE_RE

@@ -117,6 +117,41 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
                      F.expr(f"length({norm})").alias("norm_len"))
 
 
+# polynomial rolling-hash parameters: base 257 over a prime modulus just
+# under 2^53 so acc*base + c stays < 2^63 (no int64 overflow — Spark's
+# non-ANSI wrap and DuckDB would disagree past that)
+RH_BASE = 257
+RH_MOD = 9007199254740881
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        window: int = 16) -> DataFrame:
+    """Rolling-hash document fingerprint (Rabin-Karp polynomial over the
+    normalized text): `doc_fp` = hash of the whole document — exact-dup
+    key robust to formatting noise; `win_fp` = the MINIMUM hash over all
+    `window`-length character windows (winnowing-style) — shift-invariant,
+    so a document with content inserted at the front keeps the same
+    win_fp as long as the minimizing window survives. Pure integer column
+    expressions (left-fold, wrap-free by modulus choice), bit-identical
+    in the DuckDB oracle; cost is O(len·window) inside whole-stage
+    codegen — no Python, no shuffle."""
+    norm = (f"trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' '))")
+    codes = (f"transform(sequence(1, greatest(length({norm}), 1)), "
+             f"i -> cast(ascii(substring({norm}, i, 1)) as bigint))")
+    staged = df.withColumn("_codes", F.expr(codes))
+    fold = (f"(acc, c) -> (acc * {RH_BASE} + c) % {RH_MOD}")
+    doc_fp = f"aggregate(_codes, 0L, {fold})"
+    win = (f"transform(sequence(1, greatest(size(_codes) - {window - 1},"
+           f" 1)), i -> aggregate(slice(_codes, i, {window}), 0L, {fold}))")
+    win_fp = f"array_min({win})"
+    return staged.select(
+        F.col(id_col),
+        F.expr(doc_fp).alias("doc_fp"),
+        F.expr(win_fp).alias("win_fp"),
+        F.expr(f"length({norm})").cast("int").alias("norm_len"))
+
+
 def top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
               text_col: str = "text", n_docs: int | None = None
               ) -> DataFrame:

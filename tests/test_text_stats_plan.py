@@ -43,3 +43,29 @@ def test_explicit_ndocs_matches_inferred(spark, docs):
     b = {(r["doc_id"], r["term"]): (r["score"], r["rank"])
          for r in top_terms(docs, k=3, n_docs=40).collect()}
     assert a == b
+
+
+def test_rolling_fp_shift_invariance_and_dup_keys(spark):
+    """doc_fp: equal iff normalized content equal (formatting noise
+    collapses); win_fp: invariant under prefix insertion (the minimizing
+    window survives the shift) — the property that makes it a near-dup
+    blocking key where a whole-document hash breaks."""
+    from headson_spark.operators.text_stats import rolling_fingerprint
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet field until sunset falls")
+    rows = [
+        (0, base),
+        (1, "The  quick,, brown FOX jumps over the lazy dog and keeps "
+            "running through the quiet field until sunset falls"),
+        (2, "NEW PREFIX INSERTED HERE. " + base),
+        (3, "completely different content about another topic entirely "
+            "with nothing shared at all in any window of text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = {r["doc_id"]: (r["doc_fp"], r["win_fp"])
+          for r in rolling_fingerprint(df).collect()}
+    assert fp[0][0] == fp[1][0], "formatting noise must not change doc_fp"
+    assert fp[0][0] != fp[2][0], "real content change must change doc_fp"
+    assert fp[0][1] == fp[2][1], \
+        "win_fp must survive a prefix insertion (shift invariance)"
+    assert fp[0][1] != fp[3][1]
