@@ -276,6 +276,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
     q["rollup_pricing"] = rollup_pricing
 
+    def asof_backward(spark, sf_dir):
+        """Backward as-of join (merge_asof direction='backward'): for
+        each event, the user's LATEST order at or before the event time.
+        Non-vacuous in this corpus because every order (1995-2001)
+        precedes every event (2024). Window formulation so both engines
+        tie-break identically (latest date, then highest key)."""
+        from pyspark.sql import Window
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        j = (ev.join(o, (ev.user_id == o.o_custkey)
+                     & (F.col("o_orderdate").cast("timestamp") <= ev.ts))
+             .select("event_id", "user_id", "o_orderkey", "o_orderdate"))
+        w = Window.partitionBy("event_id").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey"))
+        return (j.withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1")
+                .select("event_id", "user_id", "o_orderkey",
+                        F.col("o_orderdate").cast("string")
+                         .alias("o_orderdate")))
+    q["asof_backward"] = asof_backward
+
+    def cube_pricing(spark, sf_dir):
+        # CUBE completes the grouping-sets family next to rollup_pricing
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (li.cube("l_returnflag", "l_linestatus")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+    q["cube_pricing"] = cube_pricing
+
     def range_band_join(spark, sf_dir):
         p = spark.read.parquet(f"{sf_dir}/part.parquet")
         bands = spark.createDataFrame(
@@ -634,6 +663,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                ROUND(SUM(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["cube_pricing"] = """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    sql["asof_backward"] = """
+        SELECT event_id, user_id, o_orderkey,
+               CAST(o_orderdate AS VARCHAR) AS o_orderdate
+        FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                     ROW_NUMBER() OVER (PARTITION BY e.event_id
+                         ORDER BY o.o_orderdate DESC,
+                                  o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON e.user_id = o.o_custkey
+               AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts)
+        WHERE rn = 1
     """
 
     sql["range_band_join"] = """

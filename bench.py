@@ -71,8 +71,9 @@ def main():
     for name in ["conv_assemble", "dedup_lww", "agg_pricing",
                  "join_top_customers", "window_latest_order",
                  "dedup_exact", "simhash16", "token_counts", "lang_id",
-                 "quality", "fingerprint", "ann_cosine_topk",
-                 "ann_lsh_buckets", "lsh_pairs", "default_sample"]:
+                 "quality", "fingerprint", "rolling_fp",
+                 "ann_cosine_topk", "ann_lsh_buckets", "ivf_topk",
+                 "lsh_pairs", "default_sample"]:
         runs = []
         for _ in range(2):
             t0 = time.time()

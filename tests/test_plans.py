@@ -77,3 +77,17 @@ def test_salted_tail_prereduce_equivalent(spark, tdf):
               for r in tail_cap(pre, cap).select(
                   "conv_id", "turn_idx").collect()}
     assert merged == direct
+
+
+def test_ivf_assign_plan_broadcasts_centroids(spark):
+    """IVF assignment: the k-row centroid table must broadcast (no wide
+    shuffle for the cross join) and the arg-min aggregation must partial-
+    aggregate map-side — the exchange carries one row per vector."""
+    from headson_spark.operators.similarity import ivf_assign
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ivf_assign(emb, stride=32)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
+    # exactly one wide exchange (the final agg); broadcast doesn't count
+    assert count_exchanges(df) <= 1, plan
