@@ -435,6 +435,8 @@ def choose_preview_plan(df, *, budget: int = 500, skew: str = "balanced",
         plan = ("pushdown" if (1.0 - float(kept_frac)) > min_prune
                 else "full")
     if key is not None:
+        if len(_PLAN_DECISIONS) >= 1024:  # long-lived-service backstop
+            _PLAN_DECISIONS.clear()
         _PLAN_DECISIONS[key] = plan
     return plan
 
