@@ -177,11 +177,17 @@ def ivf_assign(df: DataFrame, stride: int = 32, id_col: str = "vec_id",
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              n_probe: int = 4, stride: int = 32,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             assignment: DataFrame | None = None) -> DataFrame:
     """IVF ANN query: rank centroids by distance to the query, probe the
     n_probe nearest inverted lists, exact cosine re-rank inside them.
     Recall/latency knob = n_probe (n_probe = k_centroids degrades to the
-    exact brute force). Everything stays in-plan — no driver collect."""
+    exact brute force). Everything stays in-plan — no driver collect.
+
+    Pass `assignment` (a materialized ivf_assign result — THE deployment
+    pattern: index once, query many) to skip re-running the O(n * k)
+    indexing pass per query; without it the full assignment is computed
+    inline, which dominates the single-query wall time."""
     arr = ("array(" + ",".join(f"cast({float(x)!r} as double)"
                                for x in query_vec) + ")")
     cents = ivf_centroids(df, stride, id_col, vec_col)
@@ -189,7 +195,9 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
               .orderBy("_qd", "centroid_id")
               .limit(n_probe)
               .select("centroid_id"))
-    cand_ids = (ivf_assign(df, stride, id_col, vec_col)
+    if assignment is None:
+        assignment = ivf_assign(df, stride, id_col, vec_col)
+    cand_ids = (assignment
                 .join(F.broadcast(probes), "centroid_id")
                 .select(id_col))
     cand = df.join(cand_ids, id_col, "semi")

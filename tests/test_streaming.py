@@ -350,3 +350,46 @@ def test_merge_rows_rejects_contract_violating_turn_idx():
     assert set(st["k"]) == {"0", "1"}
     assert st["k"]["1"][1] == "ok1-v2"  # LWW still applied
     assert len(st["b"]) <= 100_000 // 8 + 1
+
+
+def test_on_close_policy_resumes_from_checkpoint(spark, tmp_path):
+    """The on_close policy across a kill/restart: phase 1 merges turns
+    (emitting nothing), the restarted query closes the session and emits
+    the final row — equal to an uninterrupted run's final."""
+    day = 24 * 3600 * 1000
+    t0 = pd.Timestamp("2026-01-01")
+    src = tmp_path / "ocr_src"
+    os.makedirs(src, exist_ok=True)
+    week_ms = 7 * 24 * 3600 * 1000
+
+    def run(src_dir, sink_name, ckpt_name):
+        sink = KeyedParquetSink(str(tmp_path / sink_name))
+        q = run_stream(spark, str(src_dir), sink,
+                       str(tmp_path / ckpt_name), budget=500,
+                       available_now=True, watermark="1 hour",
+                       session_gap_ms=day, max_files_per_trigger=1,
+                       emit_policy="on_close")
+        q.awaitTermination(300)
+        return sink
+
+    _write_chunk(src, 0, _policy_rows("conv_r", [0, 1], t0))
+    sink = run(src, "ocr_sink", "ocr_ckpt")
+    assert sink.read_latest(spark) is None or \
+        not sink.read_latest(spark).collect(), \
+        "on_close must emit nothing while the session is open"
+    # restart with more turns + a watermark-advancing far-future row
+    _write_chunk(src, 1, _policy_rows("conv_r", [2], t0
+                                      + pd.Timedelta(minutes=1)))
+    _write_chunk(src, 2, _policy_rows("conv_far", [0],
+                                      t0 + pd.Timedelta(days=30)))
+    sink = run(src, "ocr_sink", "ocr_ckpt")
+    got = {r["conv_id"]: (r["preview"], r["n_turns"])
+           for r in sink.read_latest(spark).collect()
+           if r["final"]}
+    # uninterrupted reference run over the same files
+    ref = run(src, "ocr_sink_ref", "ocr_ckpt_ref")
+    exp = {r["conv_id"]: (r["preview"], r["n_turns"])
+           for r in ref.read_latest(spark).collect()
+           if r["final"]}
+    assert got == exp and "conv_r" in got
+    assert got["conv_r"][1] == 3
