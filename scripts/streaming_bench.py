@@ -6,7 +6,7 @@ readStream -> watermark -> applyInPandasWithState -> idempotent sink with
 a bounded files-per-trigger, measuring end-to-end wall time and the
 per-batch processedRowsPerSecond from the StreamingQueryListener.
 
-Usage: python scripts/streaming_bench.py [turns] [chunks] -> JSON line
+Usage: python scripts/streaming_bench.py [turns] [chunks] [n_buckets]\n[emit_policy] -> JSON line
 """
 
 from __future__ import annotations
@@ -27,6 +27,8 @@ def main():
     # engine: bucket count for state coalescing; 0 = per-conversation
     n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     n_buckets = n_buckets or None
+    # emission policy: on_change (default) / on_close / every_k
+    emit_policy = sys.argv[4] if len(sys.argv) > 4 else "on_change"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     import pyarrow as pa
@@ -63,19 +65,22 @@ def main():
                    budget=500, available_now=True,
                    session_gap_ms=7 * 24 * 3600 * 1000,
                    watermark="2 days", max_files_per_trigger=1,
-                   n_buckets=n_buckets)
+                   n_buckets=n_buckets, emit_policy=emit_policy)
     q.awaitTermination(3600)
     wall = time.time() - t0
 
     progress = [m for m in rec.read() if m.get("event") == "progress"]
     batch_rates = [m["processed_rows_per_sec"] for m in progress
                    if m.get("processed_rows_per_sec")]
-    out_rows = sink.read_latest(spark).count()
+    latest = sink.read_latest(spark)
+    # on_close with open sessions emits nothing until closure
+    out_rows = latest.count() if latest is not None else 0
     print(json.dumps({
         "metric": "streaming_turns_per_sec",
         "value": round(n / wall, 1),
         "unit": "turns/sec",
         "n_buckets": n_buckets,
+        "emit_policy": emit_policy,
         "turns": n,
         "wall_sec": round(wall, 2),
         "micro_batches": len(progress),
