@@ -144,7 +144,16 @@ def ivf_centroids(df: DataFrame, stride: int = 32,
     every stride-th vector by id (the standard sampled-centroid IVF
     baseline — engine-independent and reproducible anywhere, unlike a
     seeded k-means; Lloyd refinement is an optional deployment step that
-    only moves the centroids, not the algorithm)."""
+    only moves the centroids, not the algorithm).
+
+    SCALING CONTRACT: k_centroids = n / stride, so a FIXED stride grows
+    k linearly with the corpus and eventually breaks the broadcast in
+    ivf_assign (the same hazard class as force-broadcasting a growing
+    dim table). stride is the knob callers must scale with n: hold k at
+    the IVF sweet spot (~sqrt(n), or a fixed few thousand — 4k centroids
+    x 64 dims x 8 B = 2 MB broadcast, safe anywhere) by setting
+    stride ≈ n / k_target. assignment cost is O(n * k) distance
+    evaluations either way — another reason k must not track n."""
     return (df.filter((F.col(id_col) % stride) == 0)
               .select(F.col(id_col).alias("centroid_id"),
                       F.col(vec_col).alias("_cvec")))
