@@ -42,6 +42,8 @@ LSH_PLANES = 6
 EMB_DIM = 64
 IVF_STRIDE = 32   # deterministic sampled centroids: vec_id % stride == 0
 IVF_PROBES = 4
+DECONTAM_MOD = 10  # stand-in eval set: every 10th document
+DECONTAM_N = 8     # word n-gram size for the contamination check
 BIG_ORDER_MIN = 400000.0  # anti-join price floor (non-vacuous at all SFs)
 # The synthetic corpus has no exact-duplicate documents / embeddings, so the
 # dedup_exact and emb_near_dup oracles were vacuous 0=0 matches in round 1.
@@ -489,6 +491,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text_stats.rolling_fingerprint(_docs(spark, sf_dir))
     q["rolling_fp"] = rolling_fp
 
+    def decontam(spark, sf_dir):
+        # deterministic stand-in eval set: every 10th document (eval
+        # members are trivially contaminated by themselves, so the check
+        # is non-vacuous at every SF)
+        d = _docs(spark, sf_dir)
+        ev = d.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+        return dedup.contamination_check(d, ev, n=DECONTAM_N)
+    q["decontam"] = decontam
+
     def ivf_assign(spark, sf_dir):
         return similarity.ivf_assign(_emb(spark, sf_dir),
                                      stride=IVF_STRIDE)
@@ -884,6 +895,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5({norm}) AS fingerprint,
                LENGTH({norm}) AS norm_len
         FROM documents
+    """
+
+    # decontamination: identical word n-grams (distinct within doc,
+    # empty gram filtered), distinct eval grams, per-doc overlap count
+    _dec_grams = (f"list_filter(list_distinct([array_to_string("
+                  f"list_slice({toks}, i, i + {DECONTAM_N - 1}), ' ') "
+                  f"for i in range(1, greatest(len({toks}) - "
+                  f"{DECONTAM_N - 1}, 1) + 1)]), x -> x != '')")
+    sql["decontam"] = f"""
+        WITH grams AS (
+            SELECT doc_id, unnest({_dec_grams}) AS gram FROM documents),
+        eval_grams AS (
+            SELECT DISTINCT gram FROM grams
+            WHERE doc_id % {DECONTAM_MOD} = 0),
+        hits AS (
+            SELECT g.doc_id, COUNT(*) AS n_overlap
+            FROM grams g JOIN eval_grams e USING (gram)
+            GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+               COALESCE(h.n_overlap, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
     """
 
     # rolling-hash fingerprint: identical left-fold polynomial hash.

@@ -208,6 +208,45 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
                      .alias("cluster_id")))
 
 
+def contamination_check(docs: DataFrame, eval_docs: DataFrame,
+                        n: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Pre-training decontamination: word n-gram overlap between corpus
+    documents and an evaluation/benchmark set — the standard check that
+    training data does not contain eval content (verbatim or lightly
+    reflowed; n-grams are order-sensitive so real overlap, not topical
+    similarity). Returns one row per corpus document with the count of
+    DISTINCT eval n-grams it contains and a contaminated flag.
+
+    Scale shape (100 TB): the eval side is small by construction
+    (benchmarks are thousands of documents), so its distinct-gram table
+    broadcasts under AQE; the corpus side explodes ~tokens-per-doc grams
+    and semi-joins — no all-pairs, per-doc work is linear, and the only
+    wide exchange is the per-doc overlap count aggregate."""
+    from .text_stats import tokens_expr
+
+    def grams(df):
+        toks = tokens_expr(text_col)
+        g = (f"array_distinct(transform(sequence(1, "
+             f"greatest(size({toks}) - {n - 1}, 1)), "
+             f"i -> array_join(slice({toks}, i, {n}), ' ')))")
+        return (df.select(F.col(id_col), F.explode(F.expr(g))
+                          .alias("gram"))
+                  .where(F.col("gram") != ""))
+
+    eval_grams = grams(eval_docs).select("gram").distinct()
+    hits = (grams(docs).join(eval_grams, "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_overlap")))
+    return (docs.select(F.col(id_col))
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                     .alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) > 0)
+                     .alias("contaminated")))
+
+
 def hashmin_components(pairs: DataFrame, left: str = "id_a",
                        right: str = "id_b",
                        max_iter: int = 30) -> DataFrame:

@@ -89,3 +89,25 @@ def test_hashmin_warns_when_not_converged(spark):
                for r in hashmin_components(pairs, max_iter=30).collect()}
     assert not any("did not converge" in str(x.message) for x in w2)
     assert set(lbl.values()) == {0}
+
+
+def test_contamination_check_semantics(spark):
+    """Planted contamination: a training doc embedding a verbatim eval
+    passage is flagged with the right overlap count; paraphrase with
+    different word order is NOT flagged (n-grams are order-sensitive)."""
+    from headson_spark.operators.dedup import contamination_check
+    eval_text = ("the capital of france is paris and the capital of "
+                 "italy is rome according to the atlas")
+    docs = spark.createDataFrame(
+        [(1, "some intro text then " + eval_text + " and a conclusion"),
+         (2, "paris is the capital town of the french republic while "
+             "rome leads italy says the atlas"),
+         (3, "entirely unrelated content about machine learning "
+             "pipelines and distributed shuffle strategies at scale")],
+        "doc_id int, text string")
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id int, text string")
+    out = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in contamination_check(docs, ev, n=8).collect()}
+    assert out[1][1] is True and out[1][0] >= 9  # all 16-8+1 eval grams
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
