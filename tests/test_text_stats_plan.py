@@ -69,3 +69,37 @@ def test_rolling_fp_shift_invariance_and_dup_keys(spark):
     assert fp[0][1] == fp[2][1], \
         "win_fp must survive a prefix insertion (shift invariance)"
     assert fp[0][1] != fp[3][1]
+
+
+def test_rolling_fp_matches_pure_python_reference(spark):
+    """The O(len) rolling-update expression must equal a straightforward
+    pure-Python windowed refold on deterministic pseudo-random texts
+    (incl. lengths straddling the window boundary and empty/whitespace
+    normalization edge cases)."""
+    import re
+    from headson_spark.operators.text_stats import (RH_BASE, RH_MOD,
+                                                    rolling_fingerprint)
+    W = 16
+
+    def ref(text):
+        norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        codes = [ord(c) for c in norm] or [0]
+        fold = lambda cs: __import__("functools").reduce(
+            lambda a, c: (a * RH_BASE + c) % RH_MOD, cs, 0)
+        doc = fold(codes)
+        wins = [fold(codes[i:i + W])
+                for i in range(max(len(codes) - W + 1, 1))]
+        return doc, min(wins)
+
+    words = ["alpha", "beta", "Gamma!", "42", "  ", "x", "thing"]
+    rows = []
+    for i in range(40):
+        n_words = (i * 7919) % 9  # 0..8 words: lengths straddle W=16
+        text = " ".join(words[(i * 31 + j) % len(words)]
+                        for j in range(n_words))
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["doc_fp"], r["win_fp"])
+           for r in rolling_fingerprint(df).collect()}
+    for i, text in rows:
+        assert got[i] == ref(text), (i, repr(text), got[i], ref(text))
