@@ -23,12 +23,23 @@ def default_kept_positions(cap: int, max_len: int = 1 << 20) -> list[int]:
 
 def with_turn_ordinal(df: DataFrame) -> DataFrame:
     """Dense 0-based position per conversation in stable turn order
-    (dedupes (conv_id, turn_idx) last-write-wins by ts first)."""
-    w_dedup = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.desc("ts"))
+    (dedupes (conv_id, turn_idx) last-write-wins by ts first).
+
+    Single-sort plan: one window sorted (conv_id, turn_idx, ts DESC)
+    serves BOTH steps — the LWW winner is the first row of each turn_idx
+    run (lag(turn_idx) != turn_idx), and after the winners-only filter
+    the ordinal window's required ordering (conv_id, turn_idx) is a
+    prefix of the ordering the data already has, so EnsureRequirements
+    elides its sort. Net: one exchange + one sort for dedup+ordinal
+    (previously two window sorts — the round-3 default_sample
+    regression)."""
+    w_full = Window.partitionBy("conv_id").orderBy("turn_idx",
+                                                   F.desc("ts"))
     w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return (df.withColumn("_rn", F.row_number().over(w_dedup))
-              .filter(F.col("_rn") == 1).drop("_rn")
+    return (df.withColumn("_prev_idx", F.lag("turn_idx").over(w_full))
+              .filter(F.col("_prev_idx").isNull()
+                      | (F.col("_prev_idx") != F.col("turn_idx")))
+              .drop("_prev_idx")
               .withColumn("turn_ord",
                           (F.row_number().over(w_ord) - 1).cast("int")))
 
@@ -39,11 +50,17 @@ def head_cap(df: DataFrame, cap: int) -> DataFrame:
 
 
 def tail_cap(df: DataFrame, cap: int) -> DataFrame:
-    """Tail sampler (samplers/tail.rs:5-80): last `cap` turns."""
-    w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    """Tail sampler (samplers/tail.rs:5-80): last `cap` turns.
+
+    Uses an unordered count window over the same conv_id partitioning
+    (turn_ord >= n - cap) instead of a descending row_number — no third
+    sort; the data is already clustered by conv_id from
+    with_turn_ordinal's single window sort."""
+    w_all = Window.partitionBy("conv_id")
     base = with_turn_ordinal(df)
-    return (base.withColumn("_rev", F.row_number().over(w))
-                .filter(F.col("_rev") <= cap).drop("_rev"))
+    return (base.withColumn("_n", F.count("*").over(w_all))
+                .filter(F.col("turn_ord") >= F.col("_n") - cap)
+                .drop("_n"))
 
 
 def default_cap(df: DataFrame, cap: int,
