@@ -137,9 +137,19 @@ def _l2sq_expr(a: str, b: str) -> str:
             f"(acc, v) -> acc + v)")
 
 
-def ivf_centroids(df: DataFrame, stride: int = 32,
+def derive_ivf_stride(df: DataFrame, k_target: int = 4096,
+                      id_col: str = "vec_id") -> int:
+    """stride = max(n // k_target, 1): holds k_centroids at ~k_target
+    regardless of corpus size. One count() at index-build time — noise
+    next to the O(n * k) assignment it sizes."""
+    n = df.select(id_col).count()
+    return max(n // max(k_target, 1), 1)
+
+
+def ivf_centroids(df: DataFrame, stride: int | None = 32,
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  k_target: int = 4096) -> DataFrame:
     """Deterministic sampled centroids for the IVF coarse quantizer:
     every stride-th vector by id (the standard sampled-centroid IVF
     baseline — engine-independent and reproducible anywhere, unlike a
@@ -149,18 +159,26 @@ def ivf_centroids(df: DataFrame, stride: int = 32,
     SCALING CONTRACT: k_centroids = n / stride, so a FIXED stride grows
     k linearly with the corpus and eventually breaks the broadcast in
     ivf_assign (the same hazard class as force-broadcasting a growing
-    dim table). stride is the knob callers must scale with n: hold k at
-    the IVF sweet spot (~sqrt(n), or a fixed few thousand — 4k centroids
-    x 64 dims x 8 B = 2 MB broadcast, safe anywhere) by setting
-    stride ≈ n / k_target. assignment cost is O(n * k) distance
-    evaluations either way — another reason k must not track n."""
+    dim table). stride=None (the scale-safe default posture) derives
+    stride from the corpus size via derive_ivf_stride, holding k at the
+    IVF sweet spot (~sqrt(n), or a fixed few thousand — 4k centroids
+    x 64 dims x 8 B = 2 MB broadcast, safe anywhere). An explicit stride
+    keeps results reproducible without a count() (tests/oracles) but
+    forfeits the boundedness proof — ivf_assign then leaves the join
+    strategy to AQE instead of forcing a broadcast. Assignment cost is
+    O(n * k) distance evaluations either way — another reason k must
+    not track n."""
+    if stride is None:
+        stride = derive_ivf_stride(df, k_target, id_col)
     return (df.filter((F.col(id_col) % stride) == 0)
               .select(F.col(id_col).alias("centroid_id"),
                       F.col(vec_col).alias("_cvec")))
 
 
-def ivf_assign(df: DataFrame, stride: int = 32, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+def ivf_assign(df: DataFrame, stride: int | None = 32,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               k_target: int = 4096) -> DataFrame:
     """IVF indexing step: assign every vector to its nearest centroid
     (arg-min L2, ties broken by centroid id — deterministic).
 
@@ -170,10 +188,23 @@ def ivf_assign(df: DataFrame, stride: int = 32, id_col: str = "vec_id",
     carries one narrow (id, centroid) row per vector. In deployment the
     assignment is materialized partitioned BY centroid_id, making a
     query's probe a partition-pruned read (same pattern as the LSH
-    bucket path)."""
+    bucket path).
+
+    Broadcast discipline: the hint is only forced when k is PROVABLY
+    bounded (stride=None — derived from n with k <= k_target). With an
+    explicit caller-fixed stride, k = n/stride grows with the corpus, so
+    the strategy is left to AQE, which broadcasts iff the runtime size
+    allows — never a forced broadcast of an unbounded table."""
+    if stride is None:
+        stride = derive_ivf_stride(df, k_target, id_col)
+        bounded = True
+    else:
+        bounded = False
     cents = ivf_centroids(df, stride, id_col, vec_col)
+    if bounded:
+        cents = F.broadcast(cents)
     d2 = _l2sq_expr(vec_col, "_cvec")
-    return (df.crossJoin(F.broadcast(cents))
+    return (df.crossJoin(cents)
             .withColumn("_d2", F.expr(d2))
             .groupBy(id_col)
             .agg(F.min(F.struct(F.col("_d2").alias("d"),
@@ -184,10 +215,11 @@ def ivf_assign(df: DataFrame, stride: int = 32, id_col: str = "vec_id",
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-             n_probe: int = 4, stride: int = 32,
+             n_probe: int = 4, stride: int | None = 32,
              id_col: str = "vec_id",
              vec_col: str = "embedding",
-             assignment: DataFrame | None = None) -> DataFrame:
+             assignment: DataFrame | None = None,
+             k_target: int = 4096) -> DataFrame:
     """IVF ANN query: rank centroids by distance to the query, probe the
     n_probe nearest inverted lists, exact cosine re-rank inside them.
     Recall/latency knob = n_probe (n_probe = k_centroids degrades to the
@@ -199,6 +231,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     inline, which dominates the single-query wall time."""
     arr = ("array(" + ",".join(f"cast({float(x)!r} as double)"
                                for x in query_vec) + ")")
+    if stride is None:
+        stride = derive_ivf_stride(df, k_target, id_col)
     cents = ivf_centroids(df, stride, id_col, vec_col)
     probes = (cents.withColumn("_qd", F.expr(_l2sq_expr("_cvec", arr)))
               .orderBy("_qd", "centroid_id")
