@@ -462,12 +462,27 @@ def conversation_previews(df, *, budget: int = 500, style: str = "default",
     full pipeline ships every turn of every conversation through the
     exchange, the pushdown one ships O(budget/2) turns per conversation
     and structurally bounds the mapInPandas carry buffer. pushdown=True
-    forces the pushdown plan (all skews, incl. the two-pass tail
-    variant); pushdown=False forces the full-shuffle pipeline."""
+    (or "pushdown") forces the pushdown plan (all skews, incl. the
+    two-pass tail variant); pushdown=False (or "full") forces the
+    full-shuffle pipeline.
+
+    n_chars exactness caveat under auto dispatch: the pushdown plan's
+    n_chars is an upper bound when a NON-kept position receives
+    duplicate deliveries (the sentinel totals count every delivered
+    row's chars; LWW-loser lengths are only subtracted for kept
+    positions — see conversation_previews_pushdown). The full plan is
+    always exact. So on inputs with duplicate deliveries outside the
+    keep-set, n_chars can differ by plan choice; preview/n_turns never
+    do. Pin pushdown=False where exact n_chars matters more than the
+    pruned shuffle."""
     if pushdown == "auto":
         plan = choose_preview_plan(df, budget=budget, skew=skew)
+    elif pushdown in (True, False, "pushdown", "full"):
+        plan = "pushdown" if pushdown in (True, "pushdown") else "full"
     else:
-        plan = "pushdown" if pushdown else "full"
+        raise ValueError(
+            f"pushdown must be True/False/'pushdown'/'full'/'auto', "
+            f"got {pushdown!r}")
     if plan == "pushdown":
         return conversation_previews_pushdown(
             df, budget=budget, style=style, skew=skew, fmt=fmt,

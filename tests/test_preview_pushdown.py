@@ -224,3 +224,19 @@ def test_edge_shape_matrix_pushdown_equals_full(spark, budget, skew):
     assert set(full) == set(push)
     diffs = {k: (full[k], push[k]) for k in full if full[k] != push[k]}
     assert not diffs, diffs
+
+
+def test_pushdown_arg_validated(spark, transcripts_df=None):
+    import pytest
+    from headson_spark.operators.preview import conversation_previews
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi", "", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    with pytest.raises(ValueError, match="pushdown"):
+        conversation_previews(df, pushdown="Auto")
+    with pytest.raises(ValueError, match="pushdown"):
+        conversation_previews(df, pushdown="fulll")
+    # the literal strings are accepted as forced plans
+    conversation_previews(df, pushdown="full")
+    conversation_previews(df, pushdown="pushdown")
