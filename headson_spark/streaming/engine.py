@@ -238,8 +238,10 @@ def make_stateful_preview_fn(budget: int = 500, style: str = "default",
     conversation per micro-batch; "on_close" skips ALL intermediate
     renders (one render per conversation at session close — the
     throughput mode when only final previews matter); "every_k" renders
-    a changed conversation only on its every emit_every-th merge round.
-    All policies converge to identical final (final=True) rows.
+    a changed conversation only on its every emit_every-th CHANGED
+    merge round (identical counting in the per-conv, bucketed and TWS
+    engines). All policies converge to identical final (final=True)
+    rows.
     """
     if emit_policy not in ("on_change", "on_close", "every_k"):
         raise ValueError(f"unknown emit_policy: {emit_policy!r}")
@@ -283,6 +285,12 @@ def make_stateful_preview_fn(budget: int = 500, style: str = "default",
         for pdf in pdf_iter:
             changed = (_st_merge_rows(st, pdf, max_turns_in_state)
                        or changed)
+        if changed:
+            # st["v"] counts CHANGED merge rounds only — the every_k
+            # policy gates on it, matching the bucketed engine and the
+            # TWS processor exactly (a data-bearing round that changes
+            # nothing does not advance the emission cadence)
+            st["v"] = st.get("v", 0) + 1
         if keep is not None:
             _prune_kept(st, keep)
         elif len(st["k"]) > max_turns_in_state:
@@ -301,7 +309,7 @@ def make_stateful_preview_fn(budget: int = 500, style: str = "default",
         state.setTimeoutTimestamp(
             max(st["mx"] // 1000 + session_gap_ms, wm_ms + 1))
 
-        if changed and _should_emit(emit_policy, emit_every, version + 1):
+        if changed and _should_emit(emit_policy, emit_every, st["v"]):
             preview = render(st)
             yield pd.DataFrame({
                 "conv_id": [conv_id], "preview": [preview],
@@ -465,7 +473,13 @@ def streaming_previews(stream_df, *, budget: int = 500,
     jobs with a NEW checkpoint dir, or pass n_buckets=None to keep the
     per-conversation grouping explicitly (its round-1 blobs are still
     incompatible). The same applies when changing n_buckets between
-    runs: the bucket count is baked into the state key space.
+    runs: the bucket count is baked into the state key space. Round 3
+    additionally widened the TWS engine's META_SCHEMA from
+    'max_ts_us long' to 'max_ts_us long, rounds int' (emit-policy round
+    counter) — TWS checkpoints written before that change fail Spark's
+    state VALUE-schema validation on resume (the validation runs before
+    the processor sees the row, so no in-processor fallback can help);
+    resume pre-round-3 TWS jobs with a NEW checkpoint dir too.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout

@@ -39,7 +39,16 @@ class PreviewProcessor:
     emit_policy mirrors engine.py: "on_change" (default) emits every
     changed round, "on_close" emits only the final render at timer
     expiry, "every_k" emits a changed conversation on its every
-    emit_every-th merge round. Final emissions are policy-independent.
+    emit_every-th CHANGED merge round (all three engines count only
+    changed rounds). Final emissions are policy-independent.
+
+    CHECKPOINT COMPATIBILITY: META_SCHEMA widened in round 3 from
+    'max_ts_us long' to 'max_ts_us long, rounds int'. Spark validates
+    the state value schema BEFORE the processor reads a row, so
+    pre-change TWS checkpoints fail on resume regardless of any
+    defensive read here — resume them with a NEW checkpoint dir (or
+    rely on TWS state-schema evolution where the deployment Spark
+    version supports it).
     """
 
     def __init__(self, budget: int = 500, style: str = "default",

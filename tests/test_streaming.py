@@ -393,3 +393,49 @@ def test_on_close_policy_resumes_from_checkpoint(spark, tmp_path):
            if r["final"]}
     assert got == exp and "conv_r" in got
     assert got["conv_r"][1] == 3
+
+
+def test_every_k_counts_changed_rounds_identically_across_engines(
+        spark, tmp_path):
+    """The every_k cadence is defined over CHANGED merge rounds in all
+    three engines (per-conv, bucketed, TWS). A duplicate-only delivery
+    (older ts, LWW loser -> changed=False) must not advance the cadence:
+    with emit_every=2 the single intermediate emission lands on the
+    2nd CHANGED round (n_turns=2) in both Spark engines, and the
+    intermediate rows are identical across them."""
+    day = 24 * 3600 * 1000
+    t0 = pd.Timestamp("2026-01-01")
+
+    src = tmp_path / "ek_src"
+    os.makedirs(src, exist_ok=True)
+    _write_chunk(src, 0, _policy_rows("conv_a", [0], t0))
+    # duplicate of turn 0 with an OLDER ts: merged away (LWW loser),
+    # changed=False -> must not count as a round
+    _write_chunk(src, 1, _policy_rows("conv_a", [0],
+                                      t0 - pd.Timedelta(minutes=5)))
+    _write_chunk(src, 2, _policy_rows("conv_a", [1],
+                                      t0 + pd.Timedelta(minutes=1)))
+    _write_chunk(src, 3, _policy_rows("conv_a", [2],
+                                      t0 + pd.Timedelta(minutes=2)))
+    _write_chunk(src, 4, _policy_rows("conv_c", [0],
+                                      t0 + pd.Timedelta(days=30)))
+
+    inter = {}
+    for label, nb in (("per-conv", None), ("bucketed", 2)):
+        sink = KeyedParquetSink(str(tmp_path / f"ek_sink_{label}"))
+        q = run_stream(
+            spark, str(src), sink, str(tmp_path / f"ek_ckpt_{label}"),
+            budget=500, available_now=True, watermark="1 hour",
+            session_gap_ms=day, max_files_per_trigger=1,
+            n_buckets=nb, emit_policy="every_k", emit_every=2)
+        q.awaitTermination(300)
+        rows = spark.read.parquet(
+            *[os.path.join(sink.path, f"batch={b}")
+              for b in sink.committed()
+              if os.path.exists(os.path.join(sink.path, f"batch={b}"))]
+        ).collect()
+        inter[label] = sorted(
+            (r["conv_id"], r["n_turns"], r["preview"])
+            for r in rows if not r["final"])
+    assert inter["per-conv"] == inter["bucketed"]
+    assert [(c, n) for c, n, _ in inter["per-conv"]] == [("conv_a", 2)]
