@@ -137,8 +137,9 @@ def run_tws(batches, budget=500, expire=True, **proc_kwargs):
     return out, handle
 
 
-def run_reference(batches, budget=500, expire=True):
-    fn = make_stateful_preview_fn(budget=budget, session_gap_ms=GAP_MS)
+def run_reference(batches, budget=500, expire=True, **fn_kwargs):
+    fn = make_stateful_preview_fn(budget=budget, session_gap_ms=GAP_MS,
+                                  **fn_kwargs)
     state = FakeGroupState()
     out = []
     for b in batches:
@@ -283,3 +284,74 @@ def test_emission_count_parity_on_unchanged_batch():
     tws, _ = run_tws([b1, replay], expire=False)
     ref, _ = run_reference([b1, replay], expire=False)
     assert len(tws) == 1 and len(ref) == 1
+
+
+def test_every_k_cadence_skips_unchanged_rounds_tws_vs_reference():
+    """every_k counts CHANGED merge rounds only, identically in the TWS
+    processor and the applyInPandasWithState engine: a stale-replay
+    round (LWW loser) must not advance the cadence. Changed rounds here
+    are 1,2,3,4 with a stale round between 2 and 3; emit_every=2 =>
+    intermediates on changed rounds 2 and 4 exactly."""
+    batches = [
+        _batch([(0, "user", "a", "", "2026-01-01T00:05:00")]),        # r1
+        _batch([(1, "assistant", "b", "", "2026-01-01T00:05:01")]),   # r2
+        _batch([(0, "user", "stale", "", "2026-01-01T00:00:00")]),    # --
+        _batch([(2, "user", "c", "", "2026-01-01T00:05:02")]),        # r3
+        _batch([(3, "assistant", "d", "", "2026-01-01T00:05:03")]),   # r4
+    ]
+    tws, _ = run_tws(batches, emit_policy="every_k", emit_every=2,
+                     expire=False)
+    ref, _ = run_reference(batches, emit_policy="every_k", emit_every=2,
+                           expire=False)
+    assert len(tws) == len(ref) == 2
+    for a, b in zip(tws, ref):
+        ra, rb = a.iloc[0], b.iloc[0]
+        assert (ra["preview"], ra["n_turns"]) == \
+            (rb["preview"], rb["n_turns"])
+    assert [o.iloc[0]["n_turns"] for o in tws] == [2, 4]
+
+
+def test_timer_reregistered_per_round_and_monotone_under_late_turns():
+    """The session-close timer is re-registered on EVERY data round at
+    max_event_ts + gap; a late (older-ts) turn must re-register the SAME
+    deadline, never move it backward."""
+    proc = PreviewProcessor(budget=500, session_gap_ms=GAP_MS)
+    handle = FakeHandle()
+    proc.init(handle)
+    t_new = pd.Timestamp("2026-01-01T00:10:00")
+    deadline = t_new.value // 1_000_000 + GAP_MS
+    list(proc.handleInputRows(("conv",), iter([_batch(
+        [(0, "user", "x", "", "2026-01-01T00:10:00")])]), None))
+    assert handle.timers == [deadline]
+    # late turn, 9 minutes older: deadline unchanged, re-registered
+    list(proc.handleInputRows(("conv",), iter([_batch(
+        [(1, "user", "late", "", "2026-01-01T00:01:00")])]), None))
+    assert handle.timers == [deadline, deadline]
+    # newer turn: deadline advances
+    list(proc.handleInputRows(("conv",), iter([_batch(
+        [(2, "user", "y", "", "2026-01-01T00:12:00")])]), None))
+    assert handle.timers[-1] == deadline + 120_000
+
+
+def test_expired_timer_then_new_delivery_restarts_conversation():
+    """After timer expiry clears TWS state, a later delivery for the
+    same key must rebuild the conversation from scratch (fresh rounds
+    counter, fresh turn map) and register a fresh timer."""
+    proc = PreviewProcessor(budget=500, session_gap_ms=GAP_MS)
+    handle = FakeHandle()
+    proc.init(handle)
+    list(proc.handleInputRows(("conv",), iter([_batch(
+        [(0, "user", "first session", "", "2026-01-01T00:00:00")])]),
+        None))
+    final = list(proc.handleExpiredTimer(("conv",), None, None))
+    assert len(final) == 1 and bool(final[0].iloc[0]["final"])
+    n_timers = len(handle.timers)
+    # same key delivers again: a NEW session
+    out = list(proc.handleInputRows(("conv",), iter([_batch(
+        [(0, "user", "second session", "", "2026-01-02T00:00:00")])]),
+        None))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["n_turns"] == 1 and "second session" in row["preview"]
+    assert row["last_ts"] == pd.Timestamp("2026-01-02T00:00:00", tz="UTC")
+    assert len(handle.timers) == n_timers + 1
