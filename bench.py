@@ -73,7 +73,7 @@ def main():
                  "dedup_exact", "simhash16", "token_counts", "lang_id",
                  "quality", "fingerprint", "rolling_fp",
                  "ann_cosine_topk", "ann_lsh_buckets", "ivf_topk",
-                 "lsh_pairs", "default_sample"]:
+                 "ivf_topk_indexed", "lsh_pairs", "default_sample"]:
         runs = []
         for _ in range(2):
             t0 = time.time()
@@ -112,20 +112,34 @@ def main():
         # previews render once at session close), so it bounds what the
         # render cost is worth on this shape.
         onclose_tps = None
+        # min-of-2 per config, same protocol as the batch rows: each run
+        # gets FRESH checkpoint/sink dirs (a reused checkpoint would
+        # replay-skip and measure nothing), and the first run absorbs
+        # streaming-stack warmup (state-store init, Python worker
+        # spin-up, page-cache misses) plus co-tenant bursts — the round-3
+        # driver record showed single-shot streaming rows swinging
+        # 5.9 s -> 14.7 s on a shared host while batch min-of-2 rows
+        # moved a few percent.
         for label, nb, policy in (
                 ("streaming_500k", 512, "on_change"),
                 ("streaming_500k_perconv", None, "on_change"),
                 ("streaming_500k_onclose", 512, "on_close")):
-            sink = KeyedParquetSink(os.path.join(stmp, f"sink_{label}"))
-            t0 = time.time()
-            sq = run_stream(spark, ssrc, sink,
-                            os.path.join(stmp, f"ckpt_{label}"),
-                            budget=500, available_now=True,
-                            session_gap_ms=7 * 24 * 3600 * 1000,
-                            watermark="2 days", max_files_per_trigger=1,
-                            n_buckets=nb, emit_policy=policy)
-            sq.awaitTermination(1200)
-            stream_sec = time.time() - t0
+            runs = []
+            for attempt in range(2):
+                sink = KeyedParquetSink(
+                    os.path.join(stmp, f"sink_{label}_{attempt}"))
+                t0 = time.time()
+                sq = run_stream(spark, ssrc, sink,
+                                os.path.join(stmp,
+                                             f"ckpt_{label}_{attempt}"),
+                                budget=500, available_now=True,
+                                session_gap_ms=7 * 24 * 3600 * 1000,
+                                watermark="2 days",
+                                max_files_per_trigger=1,
+                                n_buckets=nb, emit_policy=policy)
+                sq.awaitTermination(1200)
+                runs.append(time.time() - t0)
+            stream_sec = min(runs)
             timings[label] = round(stream_sec, 3)
             tps = round(pdf_tbl.num_rows / stream_sec, 1)
             if policy == "on_close":
