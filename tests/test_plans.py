@@ -84,6 +84,11 @@ def test_ivf_assign_plan_broadcasts_centroids(spark):
     shuffle for the cross join) and the arg-min aggregation must partial-
     aggregate map-side — the exchange carries one row per vector."""
     from headson_spark.operators.similarity import ivf_assign
+    # the shared-session suite may have pinned an identical ivf_assign
+    # plan via __spark_entry__._ivf_index's .cache(); Spark would then
+    # substitute the InMemoryRelation and this test would read the cached
+    # build's exchanges instead of the operator's own plan shape
+    spark.catalog.clearCache()
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     df = ivf_assign(emb, stride=32)
     plan = formatted_plan(df)
