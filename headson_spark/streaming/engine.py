@@ -519,7 +519,17 @@ class KeyedParquetSink:
     delta + a committed-batch manifest. Replayed batch ids (post-restart
     re-execution) are skipped, making commits idempotent; reads
     reconstruct latest-per-key (MERGE semantics). With an Iceberg catalog
-    this maps 1:1 onto MERGE INTO keyed by conv_id."""
+    this maps 1:1 onto MERGE INTO keyed by conv_id.
+
+    Lineage + metrics: every row carries (_batch_id, _partition_id), and
+    each commit records per-batch metrics (rows, files, bytes) in a
+    sidecar manifest, read from the written parquet footers — no extra
+    Spark action on the micro-batch hot path. The metrics sidecar is
+    advisory (Iceberg snapshot-summary analog); the commit point remains
+    the batch-id manifest, written last — a crash between the two leaves
+    an uncommitted metrics row that the replay overwrites, so metrics
+    stay consistent with committed batches and exactly-once is
+    unaffected."""
 
     def __init__(self, path: str, key: str = "conv_id",
                  order_col: str = "last_ts"):
@@ -532,11 +542,37 @@ class KeyedParquetSink:
     def manifest(self) -> str:
         return os.path.join(self.path, "_committed_batches.json")
 
+    @property
+    def metrics_manifest(self) -> str:
+        return os.path.join(self.path, "_batch_metrics.json")
+
     def committed(self) -> set[int]:
         if os.path.exists(self.manifest):
             with open(self.manifest) as f:
                 return set(json.load(f))
         return set()
+
+    def metrics(self) -> dict[int, dict]:
+        """Per-committed-batch metrics {batch_id: {rows, files, bytes}}.
+        Batches committed by a pre-metrics writer simply have no row."""
+        if os.path.exists(self.metrics_manifest):
+            with open(self.metrics_manifest) as f:
+                return {int(k): v for k, v in json.load(f).items()}
+        return {}
+
+    @staticmethod
+    def _dir_metrics(out: str) -> dict:
+        """rows/files/bytes for one batch dir from parquet footers only."""
+        import pyarrow.parquet as pq
+        rows = files = nbytes = 0
+        for name in os.listdir(out):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(out, name)
+            rows += pq.ParquetFile(p).metadata.num_rows
+            files += 1
+            nbytes += os.path.getsize(p)
+        return {"rows": rows, "files": files, "bytes": nbytes}
 
     def __call__(self, batch_df, batch_id: int):
         if batch_id in self.committed():
@@ -549,6 +585,12 @@ class KeyedParquetSink:
          .write.mode("overwrite").parquet(out))
         done = self.committed()
         done.add(batch_id)
+        stats = self.metrics()
+        stats[batch_id] = self._dir_metrics(out)
+        tmp = self.metrics_manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in sorted(stats.items())}, f)
+        os.replace(tmp, self.metrics_manifest)
         tmp = self.manifest + ".tmp"
         with open(tmp, "w") as f:
             json.dump(sorted(done), f)

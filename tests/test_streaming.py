@@ -123,6 +123,36 @@ def test_sink_skips_replayed_batch(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["preview"] == "p1"
 
 
+def test_sink_batch_metrics(spark, tmp_path):
+    """Metrics sidecar: one row per committed batch, rows/files/bytes
+    consistent with the parquet actually written; replays leave it
+    untouched; metrics survive a pre-metrics (ids-only) manifest."""
+    import json
+    sink = KeyedParquetSink(str(tmp_path / "msink"))
+    ts = pd.Timestamp("2026-01-01", tz="UTC")
+    pdf = pd.DataFrame({
+        "conv_id": ["a", "b", "c"], "preview": ["p"] * 3,
+        "n_turns": [1] * 3, "last_ts": [ts] * 3, "final": [False] * 3})
+    sink(spark.createDataFrame(pdf), 0)
+    sink(spark.createDataFrame(pdf.iloc[:1]), 1)
+    m = sink.metrics()
+    assert set(m) == {0, 1}
+    assert m[0]["rows"] == 3 and m[1]["rows"] == 1
+    assert m[0]["files"] >= 1 and m[0]["bytes"] > 0
+    # replay with different content: metrics row must not change
+    before = m[0]
+    sink(spark.createDataFrame(pdf.iloc[:2]), 0)
+    assert sink.metrics()[0] == before
+    # a committed batch with no metrics row (pre-metrics writer) is fine
+    manifest = sink.manifest
+    with open(manifest) as f:
+        ids = json.load(f)
+    ids.append(7)  # simulate an old commit that never wrote metrics
+    with open(manifest, "w") as f:
+        json.dump(ids, f)
+    assert 7 in sink.committed() and 7 not in sink.metrics()
+
+
 def test_bucketed_session_close_partial_bucket(spark, tmp_path):
     """Bucketed engine: one conversation in a shared bucket times out
     (session gap elapsed under the advancing watermark) and emits
