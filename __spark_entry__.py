@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from headson_spark.operators import dedup, sampling, similarity, text_stats
-from headson_spark.operators.multimodal import extract_features, synth_media
 from headson_spark.operators.preview import conversation_previews
 from headson_spark.sources.transcripts import transcripts_from_events
 from headson_spark.kernel.arena import mix64
@@ -525,13 +524,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return image_channel_stats(media)
     q["multimodal_features"] = multimodal_features
 
-    # stub featureizer plumbing (audio/unknown formats); the fingerprint
-    # columns (n_bytes, sha256) are DuckDB-oracled, feat is dropped
-    def multimodal_stub_features(spark, sf_dir):
-        media = synth_media(_docs(spark, sf_dir), "doc_id", "text",
-                            kind="audio")
-        return extract_features(media, dim=8).drop("feat")
-    q["multimodal_stub_features"] = multimodal_stub_features
+    # REAL WAV (RIFF PCM16) decode path: synthesized fixed-geometry
+    # payloads -> hand-written chunk parser -> exact amplitude stats.
+    # Replaces the round-3 stub-featureizer registry slot (the stub
+    # fallback stays pytest-covered in test_multimodal.py) — same
+    # payload-from-text construction, but the decode step is now real
+    # for audio, like the PPM path is for images.
+    def multimodal_audio_stats(spark, sf_dir):
+        from headson_spark.operators.multimodal import (audio_stats,
+                                                        synth_wav_media)
+        media = synth_wav_media(_docs(spark, sf_dir), "doc_id", "text")
+        return audio_stats(media)
+    q["multimodal_audio_stats"] = multimodal_audio_stats
 
     def ivf_assign(spark, sf_dir):
         return similarity.ivf_assign(_emb(spark, sf_dir),
@@ -1213,13 +1217,33 @@ def oracle_sql() -> dict[str, str]:
         FROM px
     """
 
-    # stub featureizer: payload = utf-8(text), so the fingerprint columns
-    # are exactly reconstructable in SQL (feat is dropped Spark-side)
-    sql["multimodal_stub_features"] = """
-        SELECT doc_id AS media_id, 'audio' AS kind,
-               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-               sha256(text) AS sha256
-        FROM documents
+    # audio: recompute the synthesized WAV samples from the source text
+    # (printable-ASCII repeat to 1024 bytes, sample = (byte-80)*256 — the
+    # exact text_to_wav construction). All sums are integer-valued
+    # float64 below 2^53 and the count is a power of two, so mean /
+    # mean-of-squares are exact and sqrt is IEEE-deterministic — the
+    # doubles hash-match the Spark side bit-for-bit. 2092 = 44-byte
+    # canonical RIFF header + 2048 sample bytes.
+    samp = "(ascii(substr(s, 1 + j, 1)) - 80) * 256"
+    sql["multimodal_audio_stats"] = f"""
+        WITH c AS (
+            SELECT doc_id,
+                   COALESCE(NULLIF(regexp_replace(text, '[^ -~]', '',
+                                                  'g'), ''), 'x') AS t
+            FROM documents),
+        sm AS (
+            SELECT doc_id,
+                   substr(repeat(t, CAST(1024 // length(t) AS INT) + 1),
+                          1, 1024) AS s
+            FROM c)
+        SELECT doc_id AS media_id, 2092 AS n_bytes,
+               16000 AS sample_rate, 1024 AS n_samples,
+               list_avg([{samp} for j in range(0, 1024)]) AS mean_amp,
+               sqrt(list_avg([pow({samp}, 2)
+                              for j in range(0, 1024)])) AS rms_amp,
+               CAST(list_max([abs({samp}) for j in range(0, 1024)])
+                    AS INT) AS peak_amp
+        FROM sm
     """
 
     return sql

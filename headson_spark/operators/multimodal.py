@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas kernels.
 
-Image decode is REAL for PPM (P6, hand-written pure-Python parser —
-`ppm_decode`), so the feature path is semantically exercised end-to-end:
-payload bytes -> header parse -> pixel array -> per-channel statistics,
-verified against a DuckDB oracle computing the same means from the source
-bytes. Other kinds (audio/video, exotic image formats) fall back to a
-deterministic STUB (no PIL/ffmpeg in this environment) — swap
+Decode is REAL for two formats with hand-written pure-Python parsers —
+PPM (P6) images (`ppm_decode`) and RIFF/WAVE PCM16 audio (`wav_decode`)
+— so both feature paths are semantically exercised end-to-end: payload
+bytes -> header parse -> sample array -> per-channel / amplitude
+statistics, verified against DuckDB oracles computing the same values
+from the source bytes. Other kinds (video, exotic formats) fall back to
+a deterministic STUB (no PIL/ffmpeg in this environment) — swap
 `_decode_frame`'s fallback for a real decoder in production; the Arrow
 batching, schema, partitioning and UDF signature are the real pipeline
 either way.
@@ -15,7 +16,9 @@ either way.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -99,11 +102,82 @@ def text_to_ppm(text: str) -> bytes:
     return ppm_encode(np.frombuffer(raster, dtype=np.uint8), PPM_W, PPM_H)
 
 
+# --- RIFF/WAVE PCM16 codec (real audio path, pure numpy) ---
+
+WAV_SAMPLES = 1024   # synth fixture geometry: power of two -> exact means
+WAV_RATE = 16000
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int,
+               channels: int = 1) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: PCM, 16-bit little-endian.
+    `samples` is int16, frame-major ((n,) mono or (n, channels))."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + struct.pack("<HHIIHH", 1, channels, sample_rate,
+                          sample_rate * channels * 2, channels * 2, 16)
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Hand-written RIFF/WAVE parser: walks word-aligned chunks (unknown
+    chunks like LIST/INFO are skipped), requires a PCM 16-bit 'fmt ' and
+    a 'data' chunk. Returns (sample_rate, channels, samples[int16],
+    shaped (n, channels) when channels > 1). Raises ValueError on
+    malformed input — callers fall back to the stub featureizer."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_fmt, channels, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, "
+                         f"bits={bits})")
+    if channels < 1:
+        raise ValueError("zero channels")
+    samples = np.frombuffer(data[: len(data) - len(data) % (2 * channels)],
+                            dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    return rate, channels, samples
+
+
+def text_to_wav(text: str) -> bytes:
+    """Deterministic REAL audio payload: the text's printable-ASCII bytes
+    repeated to WAV_SAMPLES samples, each byte b mapped linearly to the
+    int16 sample (b - 80) * 256. Fixed geometry (1024 samples, 16 kHz,
+    mono) so a SQL oracle can reproduce the exact sample values."""
+    base = printable_ascii(text).encode("ascii")
+    need = WAV_SAMPLES
+    raw = (base * (need // len(base) + 1))[:need]
+    samples = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 80)
+               * 256).astype(np.int16)
+    return wav_encode(samples, WAV_RATE)
+
+
 def _decode_frame(payload: bytes, kind: str, dim: int) -> np.ndarray:
-    """Decoder: REAL path for PPM images (hand-written P6 parser ->
-    per-channel mean/std features); deterministic STUB for everything
-    else (no image/audio libraries in this environment — production swaps
-    the fallback for PIL/torchaudio/ffmpeg)."""
+    """Decoder: REAL paths for PPM images (hand-written P6 parser ->
+    per-channel mean/std features) and RIFF/WAVE PCM16 audio (hand-
+    written chunk parser -> amplitude statistics); deterministic STUB for
+    everything else (no media libraries in this environment — production
+    swaps the fallback for PIL/torchaudio/ffmpeg)."""
     if kind == "image" and payload[:2] == b"P6":
         _, _, px = ppm_decode(payload)
         chans = px.reshape(-1, 3).astype(np.float64)
@@ -111,6 +185,19 @@ def _decode_frame(payload: bytes, kind: str, dim: int) -> np.ndarray:
                                chans.std(axis=0) / 255.0])
         out = np.zeros(dim, dtype=np.float32)
         out[: min(dim, 6)] = feat[: min(dim, 6)].astype(np.float32)
+        return out
+    if kind == "audio" and payload[:4] == b"RIFF":
+        _, _, samples = wav_decode(payload)
+        flat = samples.reshape(-1).astype(np.float64)
+        if flat.size == 0:
+            flat = np.zeros(1)
+        zcr = float(np.count_nonzero(np.signbit(flat[1:])
+                                     != np.signbit(flat[:-1])))
+        feat = np.array([flat.mean() / 32768.0, flat.std() / 32768.0,
+                         np.abs(flat).max() / 32768.0,
+                         zcr / max(flat.size - 1, 1)])
+        out = np.zeros(dim, dtype=np.float32)
+        out[: min(dim, 4)] = feat[: min(dim, 4)].astype(np.float32)
         return out
     h = hashlib.sha256(payload or b"").digest()
     raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
@@ -135,6 +222,61 @@ def synth_ppm_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             })
 
     return df.select(id_col, text_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def synth_wav_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL audio payloads: each row's text becomes a
+    1024-sample mono PCM16 WAV via text_to_wav. The geometry is fixed so
+    a SQL oracle can reproduce the exact samples."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [text_to_wav(t) for t in pdf[text_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "kind": "audio",
+                "payload": payloads,
+                "width": 0, "height": 0,
+                "sample_rate": WAV_RATE,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = ("media_id bigint, n_bytes int, sample_rate int, "
+                      "n_samples int, mean_amp double, rms_amp double, "
+                      "peak_amp int")
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Amplitude statistics via the REAL WAV decode path — DuckDB-oracle-
+    checkable. Exactness: sample values and their squares are integers,
+    partial float64 sums stay below 2^53, and the sample count is a power
+    of two, so mean and mean-of-squares are EXACT in float64 and sqrt is
+    IEEE-deterministic — the oracle computes bit-identical doubles."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_bytes": [], "sample_rate": [],
+                    "n_samples": [], "mean_amp": [], "rms_amp": [],
+                    "peak_amp": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                rate, _, samples = wav_decode(p)
+                flat = samples.reshape(-1).astype(np.float64)
+                n = flat.size
+                rows["media_id"].append(mid)
+                rows["n_bytes"].append(len(p))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["mean_amp"].append(flat.sum() / n if n else 0.0)
+                rows["rms_amp"].append(
+                    math.sqrt((flat * flat).sum() / n) if n else 0.0)
+                rows["peak_amp"].append(
+                    int(np.abs(flat).max()) if n else 0)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=AUDIO_STATS_SCHEMA)
 
 
 CHANNEL_STATS_SCHEMA = ("media_id bigint, n_bytes int, "

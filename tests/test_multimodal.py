@@ -1,17 +1,21 @@
-"""PPM (P6) codec + multimodal feature path: the decode step is REAL for
-PPM images (hand-written parser), stubbed only for formats with no
-library in this environment."""
+"""PPM (P6) + RIFF/WAVE PCM16 codecs + multimodal feature path: the
+decode step is REAL for PPM images and WAV audio (hand-written parsers),
+stubbed only for formats with no library in this environment."""
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pytest
 
 from headson_spark.operators.multimodal import (PPM_H, PPM_W,
+                                                WAV_RATE, WAV_SAMPLES,
                                                 _decode_frame,
                                                 ppm_decode, ppm_encode,
                                                 printable_ascii,
-                                                text_to_ppm)
+                                                text_to_ppm, text_to_wav,
+                                                wav_decode, wav_encode)
 
 
 def test_ppm_roundtrip():
@@ -75,3 +79,114 @@ def test_decode_frame_stub_fallback_deterministic():
     b = _decode_frame(b"\x00\x01\x02", "audio", 8)
     assert np.array_equal(a, b)
     assert a.shape == (8,)
+
+
+# --- WAV (RIFF PCM16) codec ---
+
+
+def test_wav_roundtrip_mono():
+    samples = (np.arange(100, dtype=np.int32) * 331 - 16000).astype(
+        np.int16)
+    payload = wav_encode(samples, 8000)
+    rate, channels, out = wav_decode(payload)
+    assert (rate, channels) == (8000, 1)
+    assert np.array_equal(out, samples)
+    assert len(payload) == 44 + 200
+
+
+def test_wav_roundtrip_stereo():
+    frames = np.array([[1, -1], [300, -300], [32767, -32768]],
+                      dtype=np.int16)
+    payload = wav_encode(frames, 44100, channels=2)
+    rate, channels, out = wav_decode(payload)
+    assert (rate, channels) == (44100, 2)
+    assert out.shape == (3, 2)
+    assert np.array_equal(out, frames)
+
+
+def test_wav_decode_skips_unknown_chunks():
+    samples = np.array([5, -5, 7], dtype=np.int16)
+    payload = wav_encode(samples, 16000)
+    # splice a LIST chunk (odd size -> exercises word-alignment padding)
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    spliced = payload[:12] + extra + payload[12:]
+    rate, channels, out = wav_decode(spliced)
+    assert np.array_equal(out, samples)
+
+
+@pytest.mark.parametrize("payload", [
+    b"RIFX" + bytes(40),                                  # wrong magic
+    b"RIFF" + bytes(4) + b"AVI " + bytes(32),             # not WAVE
+    b"RIFF" + bytes(4) + b"WAVE",                         # no chunks
+    # truncated data chunk
+    b"RIFF" + bytes(4) + b"WAVE" + b"data"
+    + (100).to_bytes(4, "little") + bytes(10),
+])
+def test_wav_decode_rejects_malformed(payload):
+    with pytest.raises(ValueError):
+        wav_decode(payload)
+
+
+def test_wav_decode_rejects_non_pcm16():
+    # mu-law (fmt=7) and 8-bit PCM must be refused, not mis-parsed
+    body = struct_pack_fmt(7, 1, 8000, 8)
+    with pytest.raises(ValueError):
+        wav_decode(body)
+    body = struct_pack_fmt(1, 1, 8000, 8)
+    with pytest.raises(ValueError):
+        wav_decode(body)
+
+
+def struct_pack_fmt(audio_fmt, channels, rate, bits):
+    import struct
+    fmt = struct.pack("<HHIIHH", audio_fmt, channels, rate,
+                      rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    return (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + (0).to_bytes(4, "little"))
+
+
+def test_text_to_wav_deterministic_samples():
+    payload = text_to_wav("ab")
+    rate, channels, samples = wav_decode(payload)
+    assert (rate, channels) == (WAV_RATE, 1)
+    assert samples.size == WAV_SAMPLES
+    a, b = (ord("a") - 80) * 256, (ord("b") - 80) * 256
+    assert list(samples[:4]) == [a, b, a, b]
+    assert len(payload) == 44 + 2 * WAV_SAMPLES
+
+
+def test_decode_frame_real_audio_path():
+    # constant positive signal: mean == peak, zero std, zero crossings
+    samples = np.full(WAV_SAMPLES, 4096, dtype=np.int16)
+    payload = wav_encode(samples, WAV_RATE)
+    feat = _decode_frame(payload, "audio", 8)
+    assert feat[0] == pytest.approx(4096 / 32768.0)
+    assert feat[1] == 0.0                      # std
+    assert feat[2] == pytest.approx(4096 / 32768.0)  # peak
+    assert feat[3] == 0.0                      # zero-crossing rate
+    # alternating sign: zcr == 1
+    alt = np.tile(np.array([1000, -1000], dtype=np.int16),
+                  WAV_SAMPLES // 2)
+    feat2 = _decode_frame(wav_encode(alt, WAV_RATE), "audio", 8)
+    assert feat2[3] == pytest.approx(1.0)
+    assert feat2[0] == pytest.approx(0.0)
+
+
+def test_audio_stats_matches_numpy_reference():
+    """audio_stats math cross-checked in pure Python on the exact
+    construction the oracle reproduces."""
+    from headson_spark.operators.multimodal import printable_ascii
+    text = "Hello, WAV world! 123"
+    payload = text_to_wav(text)
+    _, _, samples = wav_decode(payload)
+    base = printable_ascii(text).encode("ascii")
+    raw = (base * (WAV_SAMPLES // len(base) + 1))[:WAV_SAMPLES]
+    expect = [(b - 80) * 256 for b in raw]
+    assert list(samples) == expect
+    mean = sum(expect) / WAV_SAMPLES
+    rms = math.sqrt(sum(v * v for v in expect) / WAV_SAMPLES)
+    flat = samples.astype(np.float64)
+    assert flat.sum() / WAV_SAMPLES == mean
+    assert math.sqrt((flat * flat).sum() / WAV_SAMPLES) == rms
