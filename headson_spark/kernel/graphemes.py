@@ -86,6 +86,17 @@ def _is_ext_pict(cp: int) -> bool:
 # never combine with a following printable ASCII char.
 _ASCII_SAFE = frozenset(chr(c) for c in range(0x20, 0x7F))
 
+import re as _re
+
+_ASCII_UNSAFE_RE = _re.compile(r"[\x00-\x1f\x7f]")
+
+
+def ascii_printable(s: str) -> bool:
+    """C-speed equivalent of all(c in _ASCII_SAFE for c in s): ASCII with
+    no control chars (0x00-0x1F, 0x7F). Hot path — called once per
+    string node."""
+    return s.isascii() and _ASCII_UNSAFE_RE.search(s) is None
+
 
 def grapheme_breaks(s: str) -> list[int]:
     """Return break offsets (code-point indices) including 0 and len(s)."""
@@ -147,7 +158,7 @@ def graphemes(s: str) -> list[str]:
     """Split `s` into extended grapheme clusters."""
     if not s:
         return []
-    if all(c in _ASCII_SAFE for c in s):
+    if ascii_printable(s):
         return list(s)
     b = grapheme_breaks(s)
     return [s[b[i]:b[i + 1]] for i in range(len(b) - 1)]
@@ -157,7 +168,7 @@ def count_graphemes_capped(s: str, cap: int) -> tuple[int, bool]:
     """(count up to cap, truncated?) — reference build.rs:107-114."""
     if not s:
         return 0, False
-    if all(c in _ASCII_SAFE for c in s):
+    if ascii_printable(s):
         n = len(s)
         return (min(n, cap), n > cap)
     b = grapheme_breaks(s)

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from heapq import heappush, heappop
 
 from . import arena as ar
-from .graphemes import grapheme_breaks, _ASCII_SAFE
+from .graphemes import grapheme_breaks, ascii_printable, _ASCII_SAFE
 
 SAFETY_CAP = 2_000_000          # order/scoring.rs:3
 ROOT_BASE_SCORE = 1             # scoring.rs:6
@@ -63,21 +63,6 @@ class PriorityOrder:
     total_nodes: int = 0
     is_fileset: bool = False
     root_object_len: int | None = None
-
-    def _push_node(self, kind, key, value, parent, orig_index):
-        self.kind.append(kind)
-        self.key.append(key)
-        self.value.append(value)
-        self.parent.append(parent)
-        self.children.append(None)
-        self.orig_index.append(orig_index)
-        self.total_len.append(None)
-        self.string_len.append(None)
-        self.string_truncated.append(False)
-        self.breaks.append(None)
-        self.part_start.append(-1)
-        self.part_count.append(0)
-        return len(self.kind) - 1
 
     def _push_part_block(self, parent: int, n: int):
         """Reserve n LeafPart rows in one bulk extend (hot path)."""
@@ -128,11 +113,37 @@ def build_order(a: ar.Arena, max_string_graphemes: int,
     #   string parents:     closed-form part scores generated on demand
     next_id = 0
 
+    # prebound per-column appends: assign() is the hottest allocation site
+    # (one call per node) and per-call attribute lookups dominate its cost
+    _ap_kind = po.kind.append
+    _ap_key = po.key.append
+    _ap_value = po.value.append
+    _ap_parent = po.parent.append
+    _ap_children = po.children.append
+    _ap_orig = po.orig_index.append
+    _ap_tlen = po.total_len.append
+    _ap_slen = po.string_len.append
+    _ap_strunc = po.string_truncated.append
+    _ap_breaks = po.breaks.append
+    _ap_pstart = po.part_start.append
+    _ap_pcount = po.part_count.append
+
     def assign(kind, key, value, parent, orig_index):
         nonlocal next_id
-        pid = po._push_node(kind, key, value, parent, orig_index)
-        assert pid == next_id
-        next_id += 1
+        _ap_kind(kind)
+        _ap_key(key)
+        _ap_value(value)
+        _ap_parent(parent)
+        _ap_children(None)
+        _ap_orig(orig_index)
+        _ap_tlen(None)
+        _ap_slen(None)
+        _ap_strunc(False)
+        _ap_breaks(None)
+        _ap_pstart(-1)
+        _ap_pcount(0)
+        pid = next_id
+        next_id = pid + 1
         return pid
 
     def push_stream_head(stream):
@@ -213,14 +224,12 @@ def build_order(a: ar.Arena, max_string_graphemes: int,
         # equal scores + ascending ids => already sorted
         push_stream_head((entries, 0))
 
-    _ascii_safe = _ASCII_SAFE
-
     def expand_string(pq_id, parent_score):
         nonlocal next_id
         s = po.value[pq_id] or ""
         # ASCII fast path: 1 char == 1 grapheme; breaks stays None and the
         # renderer slices directly
-        if s and all(c in _ascii_safe for c in s):
+        if s and ascii_printable(s):
             n_actual = len(s)
         else:
             brks = grapheme_breaks(s) if s else [0]
@@ -244,32 +253,35 @@ def build_order(a: ar.Arena, max_string_graphemes: int,
         heappush(heap, (parent_score + STRING_CHILD_BASE_INCREMENT,
                         start, -1, (parent_score, start, n, 0)))
 
-    def _part_score(base, i):
-        extra = 0
-        if i > STRING_INDEX_INFLECTION:
-            d = i - STRING_INDEX_INFLECTION
-            extra = d * d * STRING_INDEX_QUADRATIC_WEIGHT
-        return (base + STRING_CHILD_BASE_INCREMENT
-                + i * STRING_CHILD_LINEAR_WEIGHT + extra)
-
     limit = max_pops if max_pops is not None else SAFETY_CAP
     by_priority = po.by_priority
-    while heap and len(by_priority) < limit:
+    _bp_append = by_priority.append
+    _kind = po.kind
+    n_popped = 0
+    while heap and n_popped < limit:
         score, pq_id, arena_id, stream = heappop(heap)
         # advance this entry's sibling stream
         if len(stream) == 4:  # LeafPart stream: (base, start, n, i)
             base, start, n, i = stream
-            if i + 1 < n:
-                heappush(heap, (_part_score(base, i + 1), start + i + 1,
-                                -1, (base, start, n, i + 1)))
-            by_priority.append(pq_id)
+            i += 1
+            if i < n:
+                # inlined _part_score (closed-form, build.rs:291-331)
+                d = i - STRING_INDEX_INFLECTION
+                extra = d * d if d > 0 else 0
+                heappush(heap, (base + STRING_CHILD_BASE_INCREMENT + i
+                                + extra,
+                                start + i, -1, (base, start, n, i)))
+            _bp_append(pq_id)
+            n_popped += 1
             continue  # parts never expand
         lst, pos = stream
-        if pos + 1 < len(lst):
-            nscore, nid_, naid = lst[pos + 1]
-            heappush(heap, (nscore, nid_, naid, (lst, pos + 1)))
-        by_priority.append(pq_id)
-        kind = po.kind[pq_id]
+        pos += 1
+        if pos < len(lst):
+            nscore, nid_, naid = lst[pos]
+            heappush(heap, (nscore, nid_, naid, (lst, pos)))
+        _bp_append(pq_id)
+        n_popped += 1
+        kind = _kind[pq_id]
         if kind == K_ARRAY:
             expand_array(pq_id, nodes[arena_id], score)
         elif kind == K_OBJECT:

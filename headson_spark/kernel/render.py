@@ -14,6 +14,7 @@ Budgets are measured in BYTES of the rendered UTF-8 string (Rust
 from __future__ import annotations
 
 import json
+from bisect import bisect_left
 from dataclasses import dataclass
 
 from .order import (PriorityOrder, K_ARRAY, K_OBJECT, K_STRING, K_ATOMIC,
@@ -65,48 +66,41 @@ class RenderSet:
 
     Equivalent to the reference's top-k + ancestor-closure marking
     (graph.rs:41-61) but computed ONCE: a node is in the render set for
-    any k iff eff_rank[node] < k, where eff_rank = min pop-rank over the
-    node's subtree (a node is included exactly when itself or any
-    descendant is in the top-k; ancestors pop before descendants so the
-    subtree-min dominates). Per-string kept-part counts come from a
-    bisect over the string's ascending part-rank list.
+    any k iff eff_rank[node] < k. Because children enter the heap only
+    after their parent pops (build_order's lazy pushes), every node's
+    ancestors pop strictly earlier, so the subtree-min pop rank IS the
+    node's own pop rank and the ancestor closure is automatic — the
+    explicit descending subtree-min fold this class originally carried
+    was a no-op (property-tested in test_kernel_props:
+    ancestors-pop-first invariant + old-fold equivalence). Per-string
+    kept-part counts come from a bisect over the string's ascending
+    part-rank list, collected in pop order (already ascending).
     """
 
     __slots__ = ("eff_rank", "part_ranks")
 
     def __init__(self, po: PriorityOrder):
-        total = po.total_nodes
         INF = 1 << 60
-        rank = [INF] * total
+        rank = [INF] * po.total_nodes
+        part_ranks: dict[int, list[int]] = {}
+        kind = po.kind
+        parent = po.parent
         for i, pq_id in enumerate(po.by_priority):
             rank[pq_id] = i
-        eff = rank[:]  # eff_rank starts at own rank
-        parent = po.parent
-        kind = po.kind
-        part_ranks: dict[int, list[int]] = {}
-        # children always have higher ids than their parent (ids assigned
-        # at parent pop), so one descending pass folds subtree minima
-        for pq_id in range(total - 1, 0, -1):
-            p = parent[pq_id]
             if kind[pq_id] == K_PART:
-                r = rank[pq_id]
-                if r < INF:
-                    # parts pop in ascending order; iterating ids
-                    # descending visits later parts first
-                    part_ranks.setdefault(p, []).append(r)
-            e = eff[pq_id]
-            if p >= 0 and e < eff[p]:
-                eff[p] = e
-        for lst in part_ranks.values():
-            lst.reverse()  # ascending
-        self.eff_rank = eff
+                p = parent[pq_id]
+                lst = part_ranks.get(p)
+                if lst is None:
+                    part_ranks[p] = [i]
+                else:
+                    lst.append(i)  # pop order => ascending ranks
+        self.eff_rank = rank
         self.part_ranks = part_ranks
 
     def kept_parts_for(self, string_id: int, k: int) -> int:
         lst = self.part_ranks.get(string_id)
         if not lst:
             return 0
-        from bisect import bisect_left
         return bisect_left(lst, k)
 
 
