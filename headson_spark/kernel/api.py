@@ -80,7 +80,7 @@ def make_configs(*, format: str = "auto", style: str = "default",
 def _run(a: ar.Arena, cfg: RenderConfig, prio: dict, budget: int) -> str:
     po = build_order(a, prio["max_string_graphemes"],
                      prefer_tail_arrays=prio["prefer_tail_arrays"],
-                     max_pops=max(budget, 1))
+                     max_pops=max(budget, 1), lazy=True)
     return find_largest_render_under_budget(po, cfg, budget)
 
 

@@ -63,6 +63,12 @@ class PriorityOrder:
     total_nodes: int = 0
     is_fileset: bool = False
     root_object_len: int | None = None
+    # lazy expansion (build_order lazy=True): pump(n) extends by_priority
+    # to >= n pops (or exhaustion); assignable_capped = count_assignable
+    # result used by the budget search to pin hi without popping
+    pump = None
+    pop_limit: int = 0
+    assignable_capped: int | None = None
 
     def _push_part_block(self, parent: int, n: int):
         """Reserve n LeafPart rows in one bulk extend (hot path)."""
@@ -90,15 +96,59 @@ _KIND_FROM_ARENA = {
 }
 
 
+def count_assignable(a: ar.Arena, max_string_graphemes: int,
+                     cap: int) -> int:
+    """Total PQ ids a full (budget-bounded) expansion would assign,
+    counted straight off the arena with early exit at `cap` (returns
+    `cap` meaning ">= cap"; exact below it). Mirrors build_order's id
+    assignment: one id per structural/atomic/string node + per string
+    min(graphemes, max_string_graphemes) LeafPart ids. Assignment counts
+    are order-independent, so a plain stack walk reproduces the heap
+    expansion's total — this is what lets the lazy path know
+    hi = min(total, budget) without popping (see build_order lazy=True).
+    SAFETY_CAP truncation can only bite when the total exceeds cap
+    anyway, so cap-exactness is unaffected."""
+    nodes = a.nodes
+    stack = [a.root_id]
+    total = 0
+    while stack:
+        n = nodes[stack.pop()]
+        total += 1
+        if total >= cap:
+            return cap
+        k = n.kind
+        if k == ar.STRING:
+            s = n.string_value or ""
+            if s:
+                if ascii_printable(s):
+                    g = len(s)
+                else:
+                    g = len(grapheme_breaks(s)) - 1
+                total += min(g, max_string_graphemes)
+                if total >= cap:
+                    return cap
+        elif n.children:
+            stack.extend(n.children)
+    return total
+
+
 def build_order(a: ar.Arena, max_string_graphemes: int,
                 prefer_tail_arrays: bool = False,
                 array_bias: str = "head_mid_tail",
-                max_pops: int | None = None) -> PriorityOrder:
+                max_pops: int | None = None,
+                lazy: bool = False) -> PriorityOrder:
     """Heap expansion producing by_priority pop order.
 
     max_pops bounds |by_priority| (see module docstring); pass None for the
     reference's full expansion.
-    """
+
+    lazy=True defers popping: the returned order carries po.pump(n)
+    (extend by_priority to >= n pops) and po.assignable_capped (the
+    count_assignable walk, exact below max_pops). The budget search then
+    pops only as far as its largest probed k — typically hi/2 instead of
+    max_pops when the first probe over-shoots the byte budget — while
+    producing the identical pop prefix, so every render is byte-equal to
+    the eager path."""
     po = PriorityOrder()
     po.is_fileset = a.is_fileset
     nodes = a.nodes
@@ -257,39 +307,59 @@ def build_order(a: ar.Arena, max_string_graphemes: int,
     by_priority = po.by_priority
     _bp_append = by_priority.append
     _kind = po.kind
-    n_popped = 0
-    while heap and n_popped < limit:
-        score, pq_id, arena_id, stream = heappop(heap)
-        # advance this entry's sibling stream
-        if len(stream) == 4:  # LeafPart stream: (base, start, n, i)
-            base, start, n, i = stream
-            i += 1
-            if i < n:
-                # inlined _part_score (closed-form, build.rs:291-331)
-                d = i - STRING_INDEX_INFLECTION
-                extra = d * d if d > 0 else 0
-                heappush(heap, (base + STRING_CHILD_BASE_INCREMENT + i
-                                + extra,
-                                start + i, -1, (base, start, n, i)))
+    state = {"n": 0, "stopped": False}
+
+    def pump(target: int):
+        """Pop until >= min(target, limit) pops or exhaustion. Resumable:
+        the heap and id counter persist in this closure."""
+        if state["stopped"]:
+            return
+        n_popped = state["n"]
+        stop_at = min(target, limit)
+        while heap and n_popped < stop_at:
+            score, pq_id, arena_id, stream = heappop(heap)
+            # advance this entry's sibling stream
+            if len(stream) == 4:  # LeafPart stream: (base, start, n, i)
+                base, start, n, i = stream
+                i += 1
+                if i < n:
+                    # inlined part score (closed-form, build.rs:291-331)
+                    d = i - STRING_INDEX_INFLECTION
+                    extra = d * d if d > 0 else 0
+                    heappush(heap, (base + STRING_CHILD_BASE_INCREMENT + i
+                                    + extra,
+                                    start + i, -1, (base, start, n, i)))
+                _bp_append(pq_id)
+                n_popped += 1
+                continue  # parts never expand
+            lst, pos = stream
+            pos += 1
+            if pos < len(lst):
+                nscore, nid_, naid = lst[pos]
+                heappush(heap, (nscore, nid_, naid, (lst, pos)))
             _bp_append(pq_id)
             n_popped += 1
-            continue  # parts never expand
-        lst, pos = stream
-        pos += 1
-        if pos < len(lst):
-            nscore, nid_, naid = lst[pos]
-            heappush(heap, (nscore, nid_, naid, (lst, pos)))
-        _bp_append(pq_id)
-        n_popped += 1
-        kind = _kind[pq_id]
-        if kind == K_ARRAY:
-            expand_array(pq_id, nodes[arena_id], score)
-        elif kind == K_OBJECT:
-            expand_object(pq_id, nodes[arena_id], score)
-        elif kind == K_STRING:
-            expand_string(pq_id, score)
-        if next_id >= SAFETY_CAP:
-            break
+            kind = _kind[pq_id]
+            if kind == K_ARRAY:
+                expand_array(pq_id, nodes[arena_id], score)
+            elif kind == K_OBJECT:
+                expand_object(pq_id, nodes[arena_id], score)
+            elif kind == K_STRING:
+                expand_string(pq_id, score)
+            if next_id >= SAFETY_CAP:
+                state["stopped"] = True
+                break
+        state["n"] = n_popped
+        if n_popped >= limit:
+            state["stopped"] = True
+        po.total_nodes = next_id
 
-    po.total_nodes = next_id
+    po.pump = pump
+    po.pop_limit = limit
+    if lazy:
+        po.assignable_capped = count_assignable(a, max_string_graphemes,
+                                                limit)
+        po.total_nodes = next_id
+    else:
+        pump(limit)
     return po

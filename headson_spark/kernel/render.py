@@ -77,15 +77,34 @@ class RenderSet:
     part-rank list, collected in pop order (already ascending).
     """
 
-    __slots__ = ("eff_rank", "part_ranks")
+    __slots__ = ("eff_rank", "part_ranks", "_po", "_synced")
+
+    _INF = 1 << 60
 
     def __init__(self, po: PriorityOrder):
-        INF = 1 << 60
-        rank = [INF] * po.total_nodes
-        part_ranks: dict[int, list[int]] = {}
+        self._po = po
+        self._synced = 0
+        self.eff_rank: list[int] = []
+        self.part_ranks: dict[int, list[int]] = {}
+        self.sync()
+
+    def sync(self):
+        """Fold pops appended since the last sync (lazy pumping extends
+        by_priority between probes; rank order is append-only)."""
+        po = self._po
+        bp = po.by_priority
+        start = self._synced
+        n_pops = len(bp)
+        if n_pops == start and len(self.eff_rank) >= po.total_nodes:
+            return
+        rank = self.eff_rank
+        if len(rank) < po.total_nodes:
+            rank.extend([self._INF] * (po.total_nodes - len(rank)))
         kind = po.kind
         parent = po.parent
-        for i, pq_id in enumerate(po.by_priority):
+        part_ranks = self.part_ranks
+        for i in range(start, n_pops):
+            pq_id = bp[i]
             rank[pq_id] = i
             if kind[pq_id] == K_PART:
                 p = parent[pq_id]
@@ -94,8 +113,7 @@ class RenderSet:
                     part_ranks[p] = [i]
                 else:
                     lst.append(i)  # pop order => ascending ranks
-        self.eff_rank = rank
-        self.part_ranks = part_ranks
+        self._synced = n_pops
 
     def kept_parts_for(self, string_id: int, k: int) -> int:
         lst = self.part_ranks.get(string_id)
@@ -565,7 +583,20 @@ def find_largest_render_under_budget(po: PriorityOrder, cfg: RenderConfig,
     hints) can land on a different locally-maximal k and diverge from the
     reference byte-for-byte.
     """
-    total = po.total_nodes
+    pump = po.pump
+    lazy = (pump is not None and po.assignable_capped is not None
+            and max(budget, 1) <= po.pop_limit)
+    if lazy:
+        # hi without popping: total_nodes after a full bounded expansion
+        # is min-clamped by budget anyway once >= budget ids exist, and
+        # count_assignable is exact below pop_limit (>= budget here) —
+        # see the proof in build_order's docstring / count_assignable
+        total = po.assignable_capped
+    else:
+        if pump is not None:
+            pump(po.pop_limit)  # lazy order, out-of-contract budget:
+            #                     fall back to the eager expansion
+        total = po.total_nodes
     if total == 0:
         return ""
     rset = RenderSet(po)
@@ -574,6 +605,9 @@ def find_largest_render_under_budget(po: PriorityOrder, cfg: RenderConfig,
     best_render = None
     while lo <= hi:
         mid = (lo + hi) // 2
+        if lazy and len(po.by_priority) < mid:
+            pump(mid)
+            rset.sync()
         s = render_top_k(po, mid, cfg, rset, escaped)
         if len(s.encode("utf-8")) <= budget:
             best_render = s

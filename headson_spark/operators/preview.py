@@ -52,7 +52,7 @@ def _summarize_conv(pdf: pd.DataFrame, cfg, prio, budget) -> tuple:
                                     prio["sampler"])
     po = build_order(a, prio["max_string_graphemes"],
                      prefer_tail_arrays=prio["prefer_tail_arrays"],
-                     max_pops=max(budget, 1))
+                     max_pops=max(budget, 1), lazy=True)
     preview = find_largest_render_under_budget(po, cfg, budget)
     n_chars = int(sum(len(t) for t in texts))
     return (len(roles), n_chars, preview)
@@ -98,7 +98,7 @@ def make_preview_fn(budget: int = 500, style: str = "default",
                 po = build_order(
                     a, prio["max_string_graphemes"],
                     prefer_tail_arrays=prio["prefer_tail_arrays"],
-                    max_pops=max(budget, 1))
+                    max_pops=max(budget, 1), lazy=True)
                 preview = find_largest_render_under_budget(po, cfg, budget)
                 out["conv_id"].append(conv[s])
                 out["preview"].append(preview)
@@ -200,7 +200,7 @@ def make_presampled_preview_fn(budget: int, style: str, skew: str,
                 po = build_order(
                     a, prio["max_string_graphemes"],
                     prefer_tail_arrays=prio["prefer_tail_arrays"],
-                    max_pops=max(budget, 1))
+                    max_pops=max(budget, 1), lazy=True)
                 preview = find_largest_render_under_budget(po, cfg, budget)
                 if chars_all is not None:
                     n_chars = chars_all - loser_chars.get(cid, 0)

@@ -51,7 +51,7 @@ def _render_from_turn_map(turn_map: dict, cfg, prio, budget) -> str:
                                     prio["sampler"])
     po = build_order(a, prio["max_string_graphemes"],
                      prefer_tail_arrays=prio["prefer_tail_arrays"],
-                     max_pops=max(budget, 1))
+                     max_pops=max(budget, 1), lazy=True)
     return find_largest_render_under_budget(po, cfg, budget)
 
 
@@ -139,7 +139,7 @@ def _render_bounded(st: dict, cfg, prio, budget,
         pre_sampled_total=total)
     po = build_order(a, prio["max_string_graphemes"],
                      prefer_tail_arrays=prio["prefer_tail_arrays"],
-                     max_pops=max(budget, 1))
+                     max_pops=max(budget, 1), lazy=True)
     return find_largest_render_under_budget(po, cfg, budget)
 
 

@@ -222,3 +222,56 @@ def test_duplicate_object_keys_preserved():
     # reference's streaming map visitor (builder.rs:253-275)
     out = run('{"a":1,"a":2}', "json", 1000)
     assert out.count('"a"') == 2
+
+
+# --- lazy expansion equivalence --------------------------------------------------
+
+def test_lazy_order_matches_eager_byte_for_byte():
+    """build_order(lazy=True) + find_largest_render_under_budget must
+    reproduce the eager path byte-for-byte: identical pop prefixes,
+    identical hi (count_assignable == eager total_nodes when below the
+    pop limit), identical renders — across budgets, skews and shapes."""
+    import random
+    from headson_spark.kernel import arena as ar
+    from headson_spark.kernel.order import build_order, count_assignable
+    from headson_spark.kernel.render import (RenderConfig,
+                                             find_largest_render_under_budget)
+
+    random.seed(13)
+
+    def rnd(depth=0):
+        r = random.random()
+        if depth > 3 or r < 0.3:
+            return random.choice(
+                [None, True, 12345,
+                 "x" * random.randrange(0, 300),
+                 "héllo…👋" * random.randrange(0, 10)])
+        if r < 0.65:
+            return [rnd(depth + 1) for _ in range(random.randrange(0, 9))]
+        return {f"k{i}": rnd(depth + 1)
+                for i in range(random.randrange(0, 9))}
+
+    cfg = RenderConfig(template="pseudo", style="default")
+    checked = 0
+    for _ in range(120):
+        doc = rnd()
+        for budget in (0, 1, 17, 120, 500, 5000):
+            for tail in (False, True):
+                a = ar.build_value_arena(doc, 500)
+                eager = build_order(a, 500, prefer_tail_arrays=tail,
+                                    max_pops=max(budget, 1))
+                a2 = ar.build_value_arena(doc, 500)
+                lazy = build_order(a2, 500, prefer_tail_arrays=tail,
+                                   max_pops=max(budget, 1), lazy=True)
+                # hi agreement: exact when below the pop limit
+                cap = max(budget, 1)
+                assert (min(eager.total_nodes, cap)
+                        == min(lazy.assignable_capped, cap))
+                out_e = find_largest_render_under_budget(eager, cfg, budget)
+                out_l = find_largest_render_under_budget(lazy, cfg, budget)
+                assert out_e == out_l
+                # the lazy pop sequence is a prefix of the eager one
+                npops = len(lazy.by_priority)
+                assert lazy.by_priority == eager.by_priority[:npops]
+                checked += 1
+    assert checked > 1000
