@@ -275,3 +275,23 @@ def test_lazy_order_matches_eager_byte_for_byte():
                 assert lazy.by_priority == eager.by_priority[:npops]
                 checked += 1
     assert checked > 1000
+
+
+def test_lazy_order_out_of_contract_budget_falls_back():
+    """find_largest_render_under_budget with budget > pop_limit on a
+    lazy order must fall back to the eager expansion and still match."""
+    from headson_spark.kernel import arena as ar
+    from headson_spark.kernel.order import build_order
+    from headson_spark.kernel.render import (RenderConfig,
+                                             find_largest_render_under_budget)
+    doc = {"k%d" % i: ["x" * 40, i, None] for i in range(12)}
+    cfg = RenderConfig(template="pseudo", style="default")
+    eager = build_order(ar.build_value_arena(doc, 500), 500, max_pops=50)
+    lazy = build_order(ar.build_value_arena(doc, 500), 500, max_pops=50,
+                       lazy=True)
+    # budget 400 > pop_limit 50: out of the lazy contract
+    out_e = find_largest_render_under_budget(eager, cfg, 400)
+    out_l = find_largest_render_under_budget(lazy, cfg, 400)
+    assert out_e == out_l
+    # after the fallback pump the lazy order popped exactly the limit
+    assert len(lazy.by_priority) == len(eager.by_priority)

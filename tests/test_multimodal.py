@@ -190,3 +190,22 @@ def test_audio_stats_matches_numpy_reference():
     flat = samples.astype(np.float64)
     assert flat.sum() / WAV_SAMPLES == mean
     assert math.sqrt((flat * flat).sum() / WAV_SAMPLES) == rms
+
+
+def test_wav_roundtrip_property():
+    """Randomized roundtrip: arbitrary int16 payloads, mono + stereo,
+    varied rates — encode/decode must be lossless."""
+    import random
+    rng = random.Random(29)
+    for _ in range(50):
+        n = rng.randrange(0, 400)
+        channels = rng.choice([1, 2])
+        rate = rng.choice([8000, 16000, 22050, 44100, 48000])
+        vals = np.array([rng.randrange(-32768, 32768)
+                         for _ in range(n * channels)],
+                        dtype=np.int16)
+        frames = vals.reshape(-1, channels) if channels > 1 else vals
+        payload = wav_encode(frames, rate, channels=channels)
+        r, c, out = wav_decode(payload)
+        assert (r, c) == (rate, channels)
+        assert np.array_equal(out.reshape(-1), vals)
