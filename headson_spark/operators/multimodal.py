@@ -1,16 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas kernels.
 
-Decode is REAL for two formats with hand-written pure-Python parsers —
-PPM (P6) images (`ppm_decode`) and RIFF/WAVE PCM16 audio (`wav_decode`)
-— so both feature paths are semantically exercised end-to-end: payload
-bytes -> header parse -> sample array -> per-channel / amplitude
-statistics, verified against DuckDB oracles computing the same values
-from the source bytes. Other kinds (video, exotic formats) fall back to
-a deterministic STUB (no PIL/ffmpeg in this environment) — swap
-`_decode_frame`'s fallback for a real decoder in production; the Arrow
-batching, schema, partitioning and UDF signature are the real pipeline
-either way.
+All four multimodal pipeline verbs are REAL hand-written paths in this
+environment: DECODE (PPM P6 images via `ppm_decode`, RIFF/WAVE PCM16
+audio via `wav_decode`), FEATURE-EXTRACT (`extract_features`,
+`image_channel_stats`, `audio_stats` — the latter two DuckDB-oracled
+bit-for-bit), RESIZE (`image_resize`, nearest-neighbor numpy), and
+FRAME-SAMPLE (`frame_sample` over a concatenated-P6 video container).
+Only exotic codecs fall back to a deterministic STUB (no PIL/ffmpeg in
+this environment) — swap `_decode_frame`'s fallback for a real decoder
+in production; the Arrow batching, schema, partitioning and UDF
+signature are the real pipeline either way.
 """
 
 from __future__ import annotations
@@ -329,3 +329,109 @@ def extract_features(df: DataFrame, dim: int = 8,
             })
 
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+# --- video (multi-frame) + resize: the remaining multimodal verbs, REAL ---
+#
+# Container: concatenated binary PPM (P6) frames, back-to-back — the
+# in-sandbox stand-in for a video bitstream (MJPEG-like: every frame
+# independently decodable). Together with ppm_decode / wav_decode /
+# extract_features this makes all four multimodal pipeline verbs
+# (decode, feature-extract, resize, frame-sample) REAL hand-written
+# paths; only exotic codecs fall back to the stub.
+
+
+def ppm_video_encode(frames: list[np.ndarray], width: int,
+                     height: int) -> bytes:
+    """Concatenate frames ((h*w*3,) uint8 each) as back-to-back P6."""
+    return b"".join(ppm_encode(f, width, height) for f in frames)
+
+
+def ppm_video_decode(payload: bytes):
+    """Split a concatenated-P6 payload into frames.
+
+    Yields (width, height, pixels) per frame; raises ValueError on a
+    malformed frame (same validation as ppm_decode). Container
+    contract: CANONICAL headers as written by ppm_encode
+    ("P6\\n<w> <h>\\n255\\n" — exactly three newlines before the
+    raster); a non-canonical frame desyncs the walk and fails the next
+    frame's magic check."""
+    pos, n = 0, len(payload)
+    while pos < n:
+        nl1 = payload.index(b"\n", pos)
+        nl2 = payload.index(b"\n", nl1 + 1)
+        nl3 = payload.index(b"\n", nl2 + 1)
+        head_end = nl3 + 1
+        w, h, px = ppm_decode(payload[pos:])
+        frame_len = (head_end - pos) + w * h * 3
+        yield w, h, px
+        pos += frame_len
+
+
+FRAME_SCHEMA = ("media_id bigint, frame_idx int, width int, height int, "
+                "frame binary")
+
+
+def frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling: decode the concatenated-P6 'video' payload and
+    keep every k-th frame, re-encoded as a standalone PPM — one output
+    row per kept frame (media_id, frame_idx, width, height, frame).
+    Arrow-batched mapInPandas; at scale the explode happens map-side
+    with no shuffle."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "width": [],
+                    "height": [], "frame": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                for i, (w, h, px) in enumerate(ppm_video_decode(p)):
+                    if i % every_k:
+                        continue
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["frame"].append(
+                        ppm_encode(px.reshape(-1), w, h))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 image — pure numpy
+    index arithmetic (pixel centers, the standard NN mapping
+    src_i = floor((i + 0.5) * src / dst))."""
+    h, w = px.shape[0], px.shape[1]
+    rows = ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64)
+    cols = ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64)
+    return px[np.minimum(rows, h - 1)][:, np.minimum(cols, w - 1)]
+
+
+def image_resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Real resize over PPM payloads: decode -> nearest-neighbor ->
+    re-encode. Output schema matches MEDIA_SCHEMA so resize composes
+    with image_channel_stats / extract_features."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad target size {out_w}x{out_h}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                p = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                _, _, px = ppm_decode(p)
+                small = resize_nearest(px, out_w, out_h)
+                payloads.append(ppm_encode(small.reshape(-1), out_w,
+                                           out_h))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": "image",
+                "payload": payloads,
+                "width": out_w, "height": out_h,
+                "sample_rate": 0})
+
+    return df.mapInPandas(fn, schema=MEDIA_SCHEMA)
