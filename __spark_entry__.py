@@ -41,6 +41,8 @@ LSH_PLANES = 6
 EMB_DIM = 64
 IVF_STRIDE = 32   # deterministic sampled centroids: vec_id % stride == 0
 IVF_PROBES = 4
+CHUNK_SIZE = 32   # token-window chunker (chunk_text registry entry)
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive windows
 DECONTAM_MOD = 10  # stand-in eval set: every 10th document
 DECONTAM_N = 8     # word n-gram size for the contamination check
 BIG_ORDER_MIN = 400000.0  # anti-join price floor (non-vacuous at all SFs)
@@ -93,13 +95,18 @@ def _ivf_index(spark, sf_dir):
     first call builds + caches the vec_id -> centroid_id table; later
     queries against the same sf_dir reuse it. In deployment this is a
     parquet/Iceberg table partitioned BY centroid_id (partition-pruned
-    probe reads); .cache() is its in-session stand-in."""
-    key = (id(spark.sparkContext), sf_dir)
+    probe reads); .cache() is its in-session stand-in.
+
+    Keyed by applicationId (stable, unique per SparkContext lifetime) —
+    id() can be reused by CPython after GC, which could hand back a
+    DataFrame bound to a stopped context."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     a = _IVF_INDEX_CACHE.get(key)
     if a is None:
         from headson_spark.operators import similarity
         a = similarity.ivf_assign(_emb(spark, sf_dir),
-                                  stride=IVF_STRIDE).cache()
+                                  stride=IVF_STRIDE,
+                                  broadcast_ok=True).cache()
         a.count()  # materialize eagerly so queries measure probe cost
         _IVF_INDEX_CACHE[key] = a
     return a
@@ -195,6 +202,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return conversation_previews(_t(spark, sf_dir), budget=400,
                                      style="default", fmt="yaml")
     q["conv_preview_yaml"] = conv_preview_yaml
+
+    def conv_preview_meta(spark, sf_dir):
+        # the flagship pipeline's NUMERIC envelope, driver-oracled: the
+        # preview string itself is kernel-only (snapshot-checked), but
+        # n_turns / n_chars flow through the same mapInPandas kernel and
+        # are SQL-computable — this row pins the full pipeline's
+        # bookkeeping against DuckDB, not just pytest
+        return (conversation_previews(_t(spark, sf_dir), budget=500,
+                                      style="default")
+                .select("conv_id",
+                        F.col("n_turns").cast("int").alias("n_turns"),
+                        F.col("n_chars").cast("bigint").alias("n_chars")))
+    q["conv_preview_meta"] = conv_preview_meta
 
     # --- relational core: agg / join / window / set ops ---
     def agg_pricing(spark, sf_dir):
@@ -370,16 +390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_duplicate_groups(d.unionByName(planted))
     q["dedup_exact"] = dedup_exact
 
-    def dedup_prefix(spark, sf_dir):
-        # near-dup blocking on a normalized 24-char prefix — non-trivial
-        # group structure at every scale (exact dedup may find 0 dups)
-        d = _docs(spark, sf_dir)
-        h = F.md5(F.substring(dedup.normalized("text"), 1, 24))
-        return (d.select(h.alias("prefix_hash"), "doc_id")
-                .groupBy("prefix_hash")
-                .agg(F.count("*").cast("bigint").alias("n_docs"),
-                     F.min("doc_id").alias("keep_id")))
-    q["dedup_prefix"] = dedup_prefix
+    # (dedup_prefix — retired round 5 under the 50-entry registry cap:
+    # its logic — normalized-hash groupBy — is a strict subset of
+    # dedup_exact + rolling_fp/fingerprint, both still oracled. The slot
+    # funds conv_preview_meta, which driver-checks the flagship preview
+    # pipeline's numeric envelope.)
 
     # (minhash_sig — the raw signature intermediate — left out of the
     # registry: the same minhash pipeline is exercised end-to-end by
@@ -406,6 +421,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                            default_frac=STRATA_DEFAULT)
                 .select("doc_id", "lang"))
     q["stratified_sample"] = stratified_sample_q
+
+    def chunk_text_q(spark, sf_dir):
+        # training-example assembly: overlapping token windows (size 32,
+        # stride 24) over every document — pure JVM chunker, zero Exchange
+        from headson_spark.operators.packing import chunk_text
+        return chunk_text(_docs(spark, sf_dir), size=CHUNK_SIZE,
+                          stride=CHUNK_STRIDE)
+    q["chunk_text"] = chunk_text_q
 
     def ngram_jaccard(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -459,15 +482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       n_planes=LSH_PLANES)
     q["ann_lsh_buckets"] = ann_lsh_buckets
 
-    def emb_near_dup(spark, sf_dir):
-        e = _emb(spark, sf_dir)
-        planted = (e.filter(F.col("vec_id") % PLANT_MOD_EMB == 0)
-                    .withColumn("vec_id",
-                                F.col("vec_id") + F.lit(PLANT_OFFSET)))
-        return similarity.embedding_near_dup_pairs(
-            e.unionByName(planted), threshold=0.6, dim=EMB_DIM,
-            n_planes=LSH_PLANES)
-    q["emb_near_dup"] = emb_near_dup
+    # (emb_near_dup — the single-band variant — retired round 5 under
+    # the 50-entry cap: emb_near_dup_banded is the same operator in its
+    # scale configuration (banded = single-band when n_bands=1) and
+    # emb_near_dup_clusters builds on it; the unbanded path stays
+    # pytest-covered (test_similarity.py). The slot funds chunk_text,
+    # promoting the training-example chunker into the driver record.)
 
     def emb_near_dup_banded(spark, sf_dir):
         # the scale configuration: same total plane family split into 2
@@ -538,14 +558,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_audio_stats"] = multimodal_audio_stats
 
     def ivf_assign(spark, sf_dir):
+        # broadcast_ok: IVF_STRIDE on the fixed-SF test fixture gives a
+        # provably tiny centroid table (k = n/32 at sf<=0.1)
         return similarity.ivf_assign(_emb(spark, sf_dir),
-                                     stride=IVF_STRIDE)
+                                     stride=IVF_STRIDE,
+                                     broadcast_ok=True)
     q["ivf_assign"] = ivf_assign
 
     def ivf_topk(spark, sf_dir):
         return similarity.ivf_topk(_emb(spark, sf_dir), QUERY_VEC,
                                    k=ANN_K, n_probe=IVF_PROBES,
-                                   stride=IVF_STRIDE)
+                                   stride=IVF_STRIDE,
+                                   broadcast_ok=True)
     q["ivf_topk"] = ivf_topk
 
     def ivf_topk_indexed(spark, sf_dir):
@@ -607,6 +631,38 @@ def oracle_sql() -> dict[str, str]:
                MAX(turn_idx) AS max_turn,
                CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
         FROM t GROUP BY conv_id
+    """
+
+    # transcripts from events have one delivery per (conv, turn) by
+    # construction (turn_idx = ROW_NUMBER ordinal), so the preview
+    # pipeline's LWW merge is the identity and its envelope reduces to
+    # per-conversation count + char totals
+    sql["conv_preview_meta"] = f"""
+        WITH t AS ({_TRANSCRIPT_SQL})
+        SELECT conv_id, CAST(COUNT(*) AS INT) AS n_turns,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+        FROM t GROUP BY conv_id
+    """
+
+    sql["chunk_text"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               t -> t != '') AS tk
+            FROM documents),
+        starts AS (
+            SELECT doc_id, tk, len(tk) AS n,
+                   unnest(range(0, greatest(len(tk), 1), {CHUNK_STRIDE}))
+                       AS start_tok
+            FROM toks)
+        SELECT doc_id,
+               CAST(start_tok / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               CAST(start_tok AS INT) AS start_tok,
+               CAST(least(n - start_tok, {CHUNK_SIZE}) AS INT) AS n_tokens,
+               COALESCE(list_aggregate(
+                   tk[start_tok + 1 : start_tok + {CHUNK_SIZE}],
+                   'string_agg', ' '), '') AS chunk
+        FROM starts
     """
 
     sql["head_cap"] = f"""
@@ -766,11 +822,7 @@ def oracle_sql() -> dict[str, str]:
         FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1
     """
 
-    sql["dedup_prefix"] = f"""
-        SELECT md5(substr({norm}, 1, 24)) AS prefix_hash,
-               COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-        FROM documents GROUP BY 1
-    """
+    # (sql["dedup_prefix"] retired with its query — see queries().)
 
     rows = N_HASHES // BANDS
     band_exprs = []
@@ -1089,23 +1141,8 @@ def oracle_sql() -> dict[str, str]:
                 f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
                 f"(p, q) -> p + q))")
 
-    sql["emb_near_dup"] = f"""
-        WITH emb2 AS (
-            SELECT vec_id, embedding FROM embeddings
-            UNION ALL
-            SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding
-            FROM embeddings WHERE vec_id % {PLANT_MOD_EMB} = 0),
-        sig AS (
-            SELECT vec_id, embedding,
-                   CAST({' + '.join(terms)} AS BIGINT) AS bucket
-            FROM emb2)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4)
-                   AS cosine
-        FROM sig a JOIN sig b ON a.bucket = b.bucket
-        WHERE a.vec_id < b.vec_id
-          AND ROUND({pair_dot} / ({vnorm('a')} * {vnorm('b')}), 4) >= 0.6
-    """
+    # (sql["emb_near_dup"] retired with its query — see queries(); the
+    # banded variant below covers the same pipeline.)
 
     # banded variant: same plane family split into 2 bands of 3; a pair
     # is a candidate if it collides in ANY band (UNION dedups), exact

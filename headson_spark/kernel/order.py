@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from heapq import heappush, heappop
 
 from . import arena as ar
-from .graphemes import grapheme_breaks, ascii_printable, _ASCII_SAFE
+from .graphemes import grapheme_breaks, ascii_printable
 
 SAFETY_CAP = 2_000_000          # order/scoring.rs:3
 ROOT_BASE_SCORE = 1             # scoring.rs:6
@@ -323,10 +323,14 @@ def build_order(a: ar.Arena, max_string_graphemes: int,
                 base, start, n, i = stream
                 i += 1
                 if i < n:
-                    # inlined part score (closed-form, build.rs:291-331)
+                    # inlined part score (closed-form, build.rs:291-331);
+                    # keep the named tuning constants so this stays in
+                    # lockstep with expand_string's initial push
                     d = i - STRING_INDEX_INFLECTION
-                    extra = d * d if d > 0 else 0
-                    heappush(heap, (base + STRING_CHILD_BASE_INCREMENT + i
+                    extra = d * d * STRING_INDEX_QUADRATIC_WEIGHT if d > 0 \
+                        else 0
+                    heappush(heap, (base + STRING_CHILD_BASE_INCREMENT
+                                    + i * STRING_CHILD_LINEAR_WEIGHT
                                     + extra,
                                     start + i, -1, (base, start, n, i)))
                 _bp_append(pq_id)

@@ -96,8 +96,12 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
     caller decides whether to split or drop them).
 
     Pack ids are globally unique: bucket * 2^20 + local pack ordinal
-    (a bucket of width w holds at most w packs, so 2^20 >= any sane
-    bucket_width).
+    (a bucket of width w holds at most w packs when doc_ids are unique,
+    so 2^20 >= any sane bucket_width). Duplicate doc_ids are tolerated:
+    ties sort by (doc_id, tok_count) so the scan order stays independent
+    of partitioning, and a bucket whose row count exceeds 2^20 (only
+    possible with massive id duplication) raises rather than silently
+    bleeding pack ordinals into the next bucket's id space.
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
@@ -106,7 +110,12 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
             f"bucket_width must be in [1, 2^20], got {bucket_width}")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        if len(pdf) > (1 << 20):
+            raise ValueError(
+                f"bucket holds {len(pdf)} rows > 2^20; pack_id ordinals "
+                f"would overflow into the next bucket (duplicate doc_ids?)")
+        pdf = (pdf.sort_values([id_col, tok_col], kind="stable")
+                  .reset_index(drop=True))
         ids = pdf[id_col].to_numpy()
         toks = pdf[tok_col].to_numpy()
         bucket = int(pdf["_bucket"].iloc[0]) if len(ids) else 0

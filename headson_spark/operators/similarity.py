@@ -175,10 +175,66 @@ def ivf_centroids(df: DataFrame, stride: int | None = 32,
                       F.col(vec_col).alias("_cvec")))
 
 
+def lloyd_refine(df: DataFrame, stride: int | None = 32,
+                 n_iters: int = 1,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 k_target: int = 4096,
+                 broadcast_ok: bool | None = None) -> DataFrame:
+    """Optional Lloyd (k-means) refinement of the strided-sample IVF
+    centroids: n_iters rounds of assign-to-nearest + recompute-as-mean.
+    Improves inverted-list balance (hence recall at a given n_probe) at
+    the same downstream plan shape — the refined table drops into
+    ivf_assign/ivf_topk via their `centroids` parameter.
+
+    Plan per iteration: the assignment crossJoin (same broadcast
+    discipline as ivf_assign) -> posexplode the vector (one narrow
+    (centroid, dim_pos, value) stream, partial-aggregated map-side to
+    k x dim rows per task) -> groupBy(centroid_id, pos) mean -> regroup
+    to arrays. Shuffle volume is O(tasks * k * dim), independent of n.
+    Empty clusters keep their previous centroid (standard Lloyd
+    posture), so k never shrinks.
+
+    Determinism caveat: cluster means are distributed float sums, so the
+    exact bit pattern depends on aggregation order; vectors whose two
+    nearest refined centroids are within float-rounding distance could
+    flip lists between runs. Fine for ANN (recall changes by at most the
+    boundary set); the oracled queries keep the UNREFINED deterministic
+    centroids — refinement is an opt-in quality step.
+    """
+    if stride is None:
+        stride = derive_ivf_stride(df, k_target, id_col)
+        if broadcast_ok is None:
+            broadcast_ok = True
+    cents = ivf_centroids(df, stride, id_col, vec_col)
+    for _ in range(max(n_iters, 0)):
+        assigned = ivf_assign(df, stride, id_col, vec_col,
+                              broadcast_ok=broadcast_ok, centroids=cents)
+        means = (df.join(assigned, id_col)
+                 .select("centroid_id",
+                         F.posexplode(vec_col).alias("_pos", "_v"))
+                 .groupBy("centroid_id", "_pos")
+                 .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
+                 .groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("_pos", "_m"))).alias("_pm"))
+                 .select("centroid_id",
+                         F.expr("transform(_pm, x -> x._m)")
+                         .alias("_newvec")))
+        # empty clusters: keep the previous centroid
+        cents = (cents.join(means, "centroid_id", "left")
+                 .select("centroid_id",
+                         F.coalesce("_newvec", F.col("_cvec").cast(
+                             "array<double>")).alias("_cvec")))
+    return cents
+
+
 def ivf_assign(df: DataFrame, stride: int | None = 32,
                id_col: str = "vec_id",
                vec_col: str = "embedding",
-               k_target: int = 4096) -> DataFrame:
+               k_target: int = 4096,
+               broadcast_ok: bool | None = None,
+               centroids: DataFrame | None = None) -> DataFrame:
     """IVF indexing step: assign every vector to its nearest centroid
     (arg-min L2, ties broken by centroid id — deterministic).
 
@@ -190,17 +246,28 @@ def ivf_assign(df: DataFrame, stride: int | None = 32,
     query's probe a partition-pruned read (same pattern as the LSH
     bucket path).
 
-    Broadcast discipline: the hint is only forced when k is PROVABLY
-    bounded (stride=None — derived from n with k <= k_target). With an
-    explicit caller-fixed stride, k = n/stride grows with the corpus, so
-    the strategy is left to AQE, which broadcasts iff the runtime size
-    allows — never a forced broadcast of an unbounded table."""
+    Broadcast discipline: the hint is forced when k is PROVABLY bounded
+    (stride=None — derived from n with k <= k_target) OR when the caller
+    asserts boundedness via broadcast_ok=True (a fixed stride on a
+    corpus the caller knows is small, e.g. tests/oracles — without the
+    hint, a deployment with AQE off and no size stats could plan the
+    crossJoin as an O(n*k) CartesianProduct). With an explicit stride
+    and no assertion, the strategy is left to AQE, which broadcasts iff
+    the runtime size allows — never a forced broadcast of a table the
+    plan cannot bound. broadcast_ok=False suppresses the hint entirely.
+
+    Pass `centroids` (a precomputed/refined ivf_centroids-shaped table,
+    e.g. from lloyd_refine) to assign against those instead of the
+    sampled ones."""
     if stride is None:
         stride = derive_ivf_stride(df, k_target, id_col)
         bounded = True
     else:
         bounded = False
-    cents = ivf_centroids(df, stride, id_col, vec_col)
+    if broadcast_ok is not None:
+        bounded = broadcast_ok
+    cents = (centroids if centroids is not None
+             else ivf_centroids(df, stride, id_col, vec_col))
     if bounded:
         cents = F.broadcast(cents)
     d2 = _l2sq_expr(vec_col, "_cvec")
@@ -219,7 +286,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id",
              vec_col: str = "embedding",
              assignment: DataFrame | None = None,
-             k_target: int = 4096) -> DataFrame:
+             k_target: int = 4096,
+             broadcast_ok: bool | None = None) -> DataFrame:
     """IVF ANN query: rank centroids by distance to the query, probe the
     n_probe nearest inverted lists, exact cosine re-rank inside them.
     Recall/latency knob = n_probe (n_probe = k_centroids degrades to the
@@ -239,7 +307,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
               .limit(n_probe)
               .select("centroid_id"))
     if assignment is None:
-        assignment = ivf_assign(df, stride, id_col, vec_col)
+        assignment = ivf_assign(df, stride, id_col, vec_col,
+                                broadcast_ok=broadcast_ok)
     cand_ids = (assignment
                 .join(F.broadcast(probes), "centroid_id")
                 .select(id_col))

@@ -320,7 +320,23 @@ def make_stateful_preview_fn(budget: int = 500, style: str = "default",
     return fn
 
 
-BUCKET_STATE_SCHEMA = "blob string, n_convs int"
+BUCKET_STATE_SCHEMA = "blob binary, n_convs int"
+
+
+def _bucket_encode(convs: dict) -> bytes:
+    """Bucket state blob: pickle (protocol 5) of {conv_id: state dict}.
+    Binary replaces the round-2..4 JSON+base64 format — the bitmap stays
+    raw bytes (no 4/3 base64 inflation) and encode/decode drop the
+    per-field JSON text scan, which was measurable per micro-batch at
+    512 buckets. State blobs never leave the state store, so pickle's
+    python-only format is fine here (the SINK stays parquet)."""
+    import pickle
+    return pickle.dumps(convs, protocol=5)
+
+
+def _bucket_decode(blob) -> dict:
+    import pickle
+    return pickle.loads(bytes(blob))
 
 
 def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
@@ -387,8 +403,7 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
         wm_ms = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
             blob, _n = state.get
-            convs = {cid: _st_from_jsonable(d)
-                     for cid, d in json.loads(blob).items()}
+            convs = _bucket_decode(blob)
             closed, remaining = [], {}
             for cid, st in convs.items():
                 if st["mx"] // 1000 + session_gap_ms <= wm_ms:
@@ -397,9 +412,7 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
                 else:
                     remaining[cid] = st
             if remaining:
-                state.update((json.dumps(
-                    {cid: _st_to_jsonable(st)
-                     for cid, st in remaining.items()}), len(remaining)))
+                state.update((_bucket_encode(remaining), len(remaining)))
                 _arm_timeout(state, remaining, wm_ms)
             else:
                 state.remove()
@@ -407,9 +420,7 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
                 yield emit(closed)
             return
 
-        convs = ({cid: _st_from_jsonable(d)
-                  for cid, d in json.loads(state.get[0]).items()}
-                 if state.exists else {})
+        convs = _bucket_decode(state.get[0]) if state.exists else {}
         changed: set[str] = set()
         for pdf in pdf_iter:
             # split the batch slice per conversation, merge each into its
@@ -428,9 +439,7 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
             elif len(st["k"]) > max_turns_in_state:
                 ks = sorted(st["k"], key=int)[:max_turns_in_state]
                 st["k"] = {k: st["k"][k] for k in ks}
-        state.update((json.dumps(
-            {cid: _st_to_jsonable(st) for cid, st in convs.items()}),
-            len(convs)))
+        state.update((_bucket_encode(convs), len(convs)))
         _arm_timeout(state, convs, wm_ms)
         if changed:
             rows = []
@@ -473,7 +482,12 @@ def streaming_previews(stream_df, *, budget: int = 500,
     jobs with a NEW checkpoint dir, or pass n_buckets=None to keep the
     per-conversation grouping explicitly (its round-1 blobs are still
     incompatible). The same applies when changing n_buckets between
-    runs: the bucket count is baked into the state key space. Round 3
+    runs: the bucket count is baked into the state key space. Round 5
+    changed the BUCKETED blob from JSON+base64 (string column) to pickle
+    (binary column) — Spark's state value-schema validation rejects
+    pre-round-5 bucketed checkpoints on resume; start bucketed jobs with
+    a NEW checkpoint dir after the upgrade (the per-conversation
+    engine's string STATE_SCHEMA is unchanged). Round 3
     additionally widened the TWS engine's META_SCHEMA from
     'max_ts_us long' to 'max_ts_us long, rounds int' (emit-policy round
     counter) — TWS checkpoints written before that change fail Spark's
