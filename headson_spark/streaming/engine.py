@@ -188,7 +188,21 @@ def _st_decode(blob: str) -> dict:
 def _st_merge_rows(st: dict, pdf: pd.DataFrame,
                    max_idx: int = 100_000) -> bool:
     """LWW-merge a micro-batch slice into bounded state; True if any
-    content or count changed.
+    content or count changed. (Column-extraction wrapper around
+    _st_merge_cols — the bucketed engine extracts columns once per
+    batch and calls _st_merge_cols per conversation slice instead.)"""
+    ts_us_arr = (pdf["ts"].to_numpy("datetime64[ns]")
+                 .astype("int64") // 1_000)
+    return _st_merge_cols(st, pdf["turn_idx"].tolist(),
+                          pdf["role"].tolist(), pdf["text"].tolist(),
+                          pdf["tool"].tolist(), ts_us_arr.tolist(),
+                          max_idx)
+
+
+def _st_merge_cols(st: dict, tidxs, roles, texts, tools, ts_list,
+                   max_idx: int = 100_000) -> bool:
+    """LWW-merge pre-extracted column slices into bounded state; True if
+    any content or count changed.
 
     max_idx guards the seen-bitmap against contract-violating rows: the
     bitmap is O(max turn_idx / 8) bytes of per-conversation state, so a
@@ -196,15 +210,11 @@ def _st_merge_rows(st: dict, pdf: pd.DataFrame,
     negative one would corrupt the bitmap via Python negative indexing.
     Rows outside [0, max_idx) are dropped (same SAFETY_CAP posture as the
     reference, scoring.rs:3) rather than crashing the query."""
-    ts_us_arr = (pdf["ts"].to_numpy("datetime64[ns]")
-                 .astype("int64") // 1_000)
     kept = st["k"]
     bits = st["b"]
     changed = False
     for t_idx, role, text, tool, ts_us in zip(
-            pdf["turn_idx"].tolist(), pdf["role"].tolist(),
-            pdf["text"].tolist(), pdf["tool"].tolist(),
-            ts_us_arr.tolist()):
+            tidxs, roles, texts, tools, ts_list):
         if t_idx < 0 or t_idx >= max_idx:
             continue
         byte = t_idx // 8
@@ -422,14 +432,35 @@ def make_bucketed_preview_fn(budget: int = 500, style: str = "default",
 
         convs = _bucket_decode(state.get[0]) if state.exists else {}
         changed: set[str] = set()
+        import numpy as np
         for pdf in pdf_iter:
-            # split the batch slice per conversation, merge each into its
-            # bounded state
-            for cid, grp in pdf.groupby("conv_id", sort=False):
+            if not len(pdf):
+                continue
+            # merge per conversation WITHOUT pandas groupby: profiling
+            # showed per-group DataFrame slicing + column boxing was
+            # ~75% of the merge path at bench shape (64k convs / batch).
+            # Extract columns once, stable-sort by conv_id (preserving
+            # arrival order within each conversation — the LWW tie
+            # contract), then hand list slices to _st_merge_cols.
+            spdf = pdf.sort_values("conv_id", kind="stable")
+            conv = spdf["conv_id"].to_numpy()
+            tidxs = spdf["turn_idx"].tolist()
+            roles = spdf["role"].tolist()
+            texts = spdf["text"].tolist()
+            tools = spdf["tool"].tolist()
+            ts_list = (spdf["ts"].to_numpy("datetime64[ns]")
+                       .astype("int64") // 1_000).tolist()
+            bnd = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+            starts = np.concatenate(([0], bnd))
+            ends = np.concatenate((bnd, [len(conv)]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                cid = conv[s]
                 st = convs.get(cid)
                 if st is None:
                     st = convs[cid] = _st_new()
-                if _st_merge_rows(st, grp, max_turns_in_state):
+                if _st_merge_cols(st, tidxs[s:e], roles[s:e],
+                                  texts[s:e], tools[s:e], ts_list[s:e],
+                                  max_turns_in_state):
                     changed.add(cid)
         for cid in changed:
             st = convs[cid]

@@ -469,3 +469,76 @@ def test_every_k_counts_changed_rounds_identically_across_engines(
             for r in rows if not r["final"])
     assert inter["per-conv"] == inter["bucketed"]
     assert [(c, n) for c, n, _ in inter["per-conv"]] == [("conv_a", 2)]
+
+
+def test_rolling_window_hot_conv_bounded_and_batch_equal(spark, tmp_path):
+    """Bounded-state rolling previews: a mega-conversation delivering
+    5000 turns into ONE window must (a) keep the keep-set predicate
+    BELOW the window aggregation (only kept turns enter the
+    collect_list buffer), (b) report the exact delivered count, and
+    (c) render byte-identically to the batch pipeline on the same turns
+    (the window contains the conversation's dense prefix, where the
+    conversation-position pushdown is exact)."""
+    from headson_spark.streaming.windows import rolling_previews
+
+    n = 5000
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    pdf = pd.DataFrame({
+        "conv_id": ["hot"] * n,
+        "turn_idx": pd.array(range(n), dtype="int32"),
+        "role": ["user" if i % 2 == 0 else "assistant" for i in range(n)],
+        "text": [f"hot turn {i} payload" for i in range(n)],
+        "tool": [""] * n,
+        # all inside one 1-minute window
+        "ts": pd.Series([t0 + pd.Timedelta(microseconds=i)
+                         for i in range(n)], dtype="datetime64[us]"),
+    })
+    # a far-future turn advances the watermark past the hot window's end
+    # (append mode only emits closed windows)
+    closer = pd.DataFrame({
+        "conv_id": ["closer"], "turn_idx": pd.array([0], dtype="int32"),
+        "role": ["user"], "text": ["bye"], "tool": [""],
+        "ts": pd.Series([t0 + pd.Timedelta(minutes=10)],
+                        dtype="datetime64[us]")})
+    pdf = pd.concat([pdf, closer], ignore_index=True)
+    src = tmp_path / "hotroll_src"
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf), str(src / "hot.parquet"))
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = rolling_previews(stream, window="1 minute",
+                           watermark="0 seconds", budget=400)
+
+    # (a) plan: the keep-set CASE sits under the streaming aggregate's
+    # partial phase — the buffer holds kept turns only (analyzed plan:
+    # optimizedPlan() would trigger the no-execution streaming check)
+    plan_str = out._jdf.queryExecution().analyzed().toString()
+    assert "CASE WHEN" in plan_str and "turn_idx" in plan_str
+    assert "collect_list" in plan_str
+
+    q = (out.writeStream.format("memory").queryName("hotrolls")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows = [r for r in spark.sql("select * from hotrolls").collect()
+            if r["conv_id"] == "hot"]
+    assert len(rows) == 1
+    r = rows[0]
+    # (b) exact delivered count
+    assert r["n_turns"] == n
+    # (c) byte-equal to the batch pipeline at the same budget
+    batch = {b["conv_id"]: b for b in conversation_previews(
+        spark.read.schema(schema).parquet(str(src)), budget=400).collect()}
+    assert r["preview"] == batch["hot"]["preview"]
+
+
+def test_rolling_window_tail_skew_rejected(spark, tmp_path):
+    from headson_spark.streaming.windows import rolling_previews
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    src = tmp_path / "tailroll_src"
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    with pytest.raises(ValueError, match="tail"):
+        rolling_previews(stream, skew="tail")
