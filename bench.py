@@ -124,12 +124,15 @@ def main():
         # driver record showed single-shot streaming rows swinging
         # 5.9 s -> 14.7 s on a shared host while batch min-of-2 rows
         # moved a few percent.
+        # min-of-3 (round 5, was 2): streaming rows swing the most with
+        # co-tenant bursts; a third fresh-checkpoint rep materially
+        # raises the chance one lands in a quiet moment
         for label, nb, policy in (
                 ("streaming_500k", 512, "on_change"),
                 ("streaming_500k_perconv", None, "on_change"),
                 ("streaming_500k_onclose", 512, "on_close")):
             runs = []
-            for attempt in range(2):
+            for attempt in range(3):
                 sink = KeyedParquetSink(
                     os.path.join(stmp, f"sink_{label}_{attempt}"))
                 t0 = time.time()
