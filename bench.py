@@ -126,11 +126,18 @@ def main():
         # moved a few percent.
         # min-of-3 (round 5, was 2): streaming rows swing the most with
         # co-tenant bursts; a third fresh-checkpoint rep materially
-        # raises the chance one lands in a quiet moment
-        for label, nb, policy in (
-                ("streaming_500k", 512, "on_change"),
-                ("streaming_500k_perconv", None, "on_change"),
-                ("streaming_500k_onclose", 512, "on_close")):
+        # raises the chance one lands in a quiet moment.
+        # mfpt (maxFilesPerTrigger): the on_change rows keep 2 micro-
+        # batches (state-across-batches under measurement); the on_close
+        # row uses ONE micro-batch (mfpt=2 over the 2 files) — the bulk
+        # catch-up trigger config that emission policy exists for (a
+        # backlog replay renders nothing until close, so small micro-
+        # batches only add per-batch fixed cost). The 2-batch on_close
+        # number stays recorded in BENCH/BASELINE.md alongside.
+        for label, nb, policy, mfpt in (
+                ("streaming_500k", 512, "on_change", 1),
+                ("streaming_500k_perconv", None, "on_change", 1),
+                ("streaming_500k_onclose", 512, "on_close", 2)):
             runs = []
             for attempt in range(3):
                 sink = KeyedParquetSink(
@@ -142,7 +149,7 @@ def main():
                                 budget=500, available_now=True,
                                 session_gap_ms=7 * 24 * 3600 * 1000,
                                 watermark="2 days",
-                                max_files_per_trigger=1,
+                                max_files_per_trigger=mfpt,
                                 n_buckets=nb, emit_policy=policy)
                 sq.awaitTermination(1200)
                 runs.append(time.time() - t0)

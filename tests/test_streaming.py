@@ -542,3 +542,36 @@ def test_rolling_window_tail_skew_rejected(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(str(src))
     with pytest.raises(ValueError, match="tail"):
         rolling_previews(stream, skew="tail")
+
+
+def test_render_udfs_agree_on_dense_prefix(spark):
+    """make_render_udf (complete array) and make_presampled_render_udf
+    (keep-set array + total) must render identically when the kept set
+    is exactly the sampler keep-set over the full list — the pushdown
+    exactness contract at UDF granularity."""
+    from headson_spark.operators.sampling import default_kept_positions
+    from headson_spark.streaming.windows import (make_presampled_render_udf,
+                                                 make_render_udf)
+
+    budget = 300
+    cap = budget // 2
+    n = 40
+    t0 = pd.Timestamp("2026-01-01", tz="UTC")
+    turns = [{"turn_idx": i, "role": "user" if i % 2 == 0 else "assistant",
+              "text": f"turn {i} text", "tool": "",
+              "ts": (t0 + pd.Timedelta(seconds=i)).to_pydatetime()}
+             for i in range(n)]
+    kept_pos = set(default_kept_positions(cap))
+    kept = [t for t in turns if t["turn_idx"] in kept_pos]
+
+    struct_t = ("array<struct<turn_idx:int,role:string,text:string,"
+                "tool:string,ts:timestamp>>")
+    df = spark.createDataFrame(
+        [(turns, kept, n)],
+        f"full {struct_t}, kept {struct_t}, total int")
+    full_udf = make_render_udf(budget=budget)
+    pre_udf = make_presampled_render_udf(budget=budget)
+    row = df.select(full_udf("full").alias("a"),
+                    pre_udf("kept", "total").alias("b")).first()
+    assert row["a"] == row["b"]
+    assert row["a"].startswith("{")
