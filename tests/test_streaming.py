@@ -575,3 +575,51 @@ def test_render_udfs_agree_on_dense_prefix(spark):
                     pre_udf("kept", "total").alias("b")).first()
     assert row["a"] == row["b"]
     assert row["a"].startswith("{")
+
+
+def test_rolling_sliding_windows_consistent_keepset(spark, tmp_path):
+    """Sliding windows: a turn lands in MULTIPLE windows; the
+    conversation-position keep-set must make the same keep decision in
+    each (the pushdown's cross-window consistency property), and each
+    closed window reports its own exact delivered count."""
+    from headson_spark.streaming.windows import rolling_previews
+
+    t0 = pd.Timestamp("2026-01-01 00:00:30")  # straddles slide boundaries
+    n = 30
+    pdf = pd.DataFrame({
+        "conv_id": ["s"] * n,
+        "turn_idx": pd.array(range(n), dtype="int32"),
+        "role": ["user" if i % 2 == 0 else "assistant" for i in range(n)],
+        "text": [f"sliding turn {i}" for i in range(n)],
+        "tool": [""] * n,
+        "ts": pd.Series([t0 + pd.Timedelta(seconds=2 * i)
+                         for i in range(n)], dtype="datetime64[us]"),
+    })
+    closer = pd.DataFrame({
+        "conv_id": ["closer"], "turn_idx": pd.array([0], dtype="int32"),
+        "role": ["user"], "text": ["bye"], "tool": [""],
+        "ts": pd.Series([t0 + pd.Timedelta(minutes=30)],
+                        dtype="datetime64[us]")})
+    src = tmp_path / "slide_src"
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(
+        pd.concat([pdf, closer], ignore_index=True)), str(src / "s.parquet"))
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = rolling_previews(stream, window="1 minute", slide="30 seconds",
+                           watermark="0 seconds", budget=300)
+    q = (out.writeStream.format("memory").queryName("slides")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows = [r for r in spark.sql("select * from slides").collect()
+            if r["conv_id"] == "s"]
+    # 60s of data, 1-minute windows sliding by 30s -> >= 2 closed windows
+    assert len(rows) >= 2, rows
+    # per-window delivered counts sum to n * windows-per-turn (each turn
+    # is in exactly 2 sliding windows of length 2x the slide)
+    assert sum(r["n_turns"] for r in rows) == 2 * n
+    for r in rows:
+        assert r["preview"].startswith("{")
+        assert len(r["preview"].encode()) <= 300
