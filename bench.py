@@ -134,12 +134,15 @@ def main():
         # backlog replay renders nothing until close, so small micro-
         # batches only add per-batch fixed cost). The 2-batch on_close
         # number stays recorded in BENCH/BASELINE.md alongside.
-        for label, nb, policy, mfpt in (
-                ("streaming_500k", 512, "on_change", 1),
-                ("streaming_500k_perconv", None, "on_change", 1),
-                ("streaming_500k_onclose", 512, "on_close", 2)):
+        for label, nb, policy, mfpt, reps in (
+                ("streaming_500k", 512, "on_change", 1, 3),
+                # perconv is the semantics-reference row, not a headline
+                # target — min-of-2 keeps total bench wall (and its
+                # burst exposure) down
+                ("streaming_500k_perconv", None, "on_change", 1, 2),
+                ("streaming_500k_onclose", 512, "on_close", 2, 3)):
             runs = []
-            for attempt in range(3):
+            for attempt in range(reps):
                 sink = KeyedParquetSink(
                     os.path.join(stmp, f"sink_{label}_{attempt}"))
                 t0 = time.time()
