@@ -82,3 +82,38 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
            .select(F.md5(normalized("text")).alias("h"))
            .distinct().collect()}
     assert got == exp and len(got) == 7
+
+
+def test_streaming_dedup_horizon_expiry_readmits(spark, tmp_path):
+    """The bounded-state trade-off: a duplicate arriving AFTER the
+    watermark passes the first arrival's ts + horizon is treated as new
+    (its state row was expired). This is the documented memory/recall
+    knob, asserted so the semantics stay visible."""
+    t0 = pd.Timestamp("2026-03-01")
+    src = tmp_path / "dd3_src"
+    os.makedirs(src, exist_ok=True)
+    # chunk 0: the original
+    c0 = _docs([1], ["expire me"], [t0])
+    # chunk 1: watermark pusher (advances wm past t0 + horizon)
+    c1 = _docs([2], ["unrelated"], [t0 + pd.Timedelta(hours=5)])
+    # chunk 2: duplicate of doc 1, long after the 1-hour horizon.
+    # NOTE eviction timing: Spark evicts expired dedup state at the END
+    # of a micro-batch, after that batch's rows were deduped — so the
+    # FIRST post-horizon duplicate (doc 3, processed in the same batch
+    # that evicts doc 1's row) is still dropped, and re-admission starts
+    # one batch later (doc 4).
+    c2 = _docs([3], ["Expire, ME!"], [t0 + pd.Timedelta(hours=6)])
+    c3 = _docs([4], ["EXPIRE me??"], [t0 + pd.Timedelta(hours=7)])
+    for i, c in enumerate((c0, c1, c2, c3)):
+        pq.write_table(pa.Table.from_pandas(c, preserve_index=False),
+                       str(src / f"c{i}.parquet"))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = streaming_dedup_exact(stream, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dd3")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    ids = {r["doc_id"] for r in spark.sql("select * from dd3").collect()}
+    # doc 4 re-admitted (doc 1's state row evicted at the end of doc 3's
+    # batch); doc 3 itself was still deduped — see NOTE above
+    assert ids == {1, 2, 4}, ids
