@@ -80,11 +80,22 @@ def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # read_widened: the driver's tables are single-row-group files that
+    # scan as ONE task (row groups are the split-assignment unit); a
+    # ~free re-spread restores parallelism for the expression-heavy text
+    # pipelines and is a no-op at scale. Safe: every documents consumer
+    # is partitioning-invariant (row-local maps, md5-derived hashes,
+    # integer aggregates, windows with total-order tie-breaks).
+    from headson_spark.session import read_widened
+    return read_widened(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # same widening rationale as _docs; every embeddings consumer is
+    # partitioning-invariant (row-local signatures, exact arg-min
+    # assignment, orderBy with (cosine, vec_id) total order)
+    from headson_spark.session import read_widened
+    return read_widened(spark, f"{sf_dir}/embeddings.parquet")
 
 
 _IVF_INDEX_CACHE: dict = {}
@@ -167,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_lww(spark, sf_dir):
         from pyspark.sql import Window
+        # not widened: the window's own exchange immediately follows the
+        # scan (see transcripts_from_events — measured regression)
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         w = Window.partitionBy("user_id", "event_type").orderBy(
             F.desc("ts"), F.desc("event_id"))

@@ -229,6 +229,44 @@ def lloyd_refine(df: DataFrame, stride: int | None = 32,
     return cents
 
 
+# ivf_assign refuses to collect more centroid rows than this: 2^20 rows
+# x 64 dims x 8 B ~ 512 MB on the driver — past the point where the
+# caller should have used stride=None (k <= k_target) instead.
+MAX_COLLECTED_CENTROIDS = 1 << 20
+
+
+def _arrow_list_matrix(arr):
+    """pyarrow List/LargeList column of equal-length float lists ->
+    (n, dim) float64 matrix. Offset-aware (handles sliced batches);
+    float32 -> float64 promotion is exact, matching Spark's
+    cast(x as double) on array<float> elements."""
+    import numpy as np
+    import pyarrow as pa
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy()
+    values = arr.values.to_numpy(zero_copy_only=False)
+    widths = offsets[1:] - offsets[:-1]
+    if len(widths) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    dim = int(widths[0])
+    if not (widths == dim).all():
+        raise ValueError("ragged embedding column in ivf_assign")
+    flat = values[int(offsets[0]):int(offsets[-1])]
+    return flat.reshape(len(widths), dim).astype(np.float64, copy=False)
+
+
+def _exact_l2sq(v, c) -> float:
+    """The Spark/DuckDB left-fold L2^2: acc = acc + (x-y)*(x-y), one
+    IEEE-double rounding per op in dimension order — bit-identical to
+    aggregate(zip_with(...)) and DuckDB list_reduce."""
+    acc = 0.0
+    for x, y in zip(v.tolist(), c.tolist()):
+        t = x - y
+        acc = acc + t * t
+    return acc
+
+
 def ivf_assign(df: DataFrame, stride: int | None = 32,
                id_col: str = "vec_id",
                vec_col: str = "embedding",
@@ -238,47 +276,100 @@ def ivf_assign(df: DataFrame, stride: int | None = 32,
     """IVF indexing step: assign every vector to its nearest centroid
     (arg-min L2, ties broken by centroid id — deterministic).
 
-    Plan shape (100 TB): the centroid table is k rows and broadcasts;
-    the cross join + min-aggregation collapses map-side (all k distance
-    rows of a vector are produced in the same task), so the exchange
-    carries one narrow (id, centroid) row per vector. In deployment the
-    assignment is materialized partitioned BY centroid_id, making a
-    query's probe a partition-pruned read (same pattern as the LSH
-    bucket path).
+    Implementation (round 6, guide §4.2): the k-row centroid table is
+    collected to the driver — the same O(k) boundedness contract as the
+    broadcast it replaces (a broadcast hash relation is also built on
+    the driver) — and shipped inside a mapInArrow closure; each Arrow
+    batch computes the full n_batch x k distance matrix in one BLAS
+    matmul (||v||^2 - 2 v.C^T + ||c||^2). That replaces the previous
+    crossJoin + per-pair Catalyst fold, which evaluated an interpreted
+    64-element lambda O(n*k) times (147 s at 20k vectors / 625
+    centroids in the round-5 driver record; the BLAS form is the same
+    flop count at native throughput). Plan shape: ZERO exchanges — the
+    old plan's broadcast + final min-aggregation exchange both
+    disappear; output is one narrow (id, centroid) row per vector,
+    computed where the vector already lives.
 
-    Broadcast discipline: the hint is forced when k is PROVABLY bounded
-    (stride=None — derived from n with k <= k_target) OR when the caller
-    asserts boundedness via broadcast_ok=True (a fixed stride on a
-    corpus the caller knows is small, e.g. tests/oracles — without the
-    hint, a deployment with AQE off and no size stats could plan the
-    crossJoin as an O(n*k) CartesianProduct). With an explicit stride
-    and no assertion, the strategy is left to AQE, which broadcasts iff
-    the runtime size allows — never a forced broadcast of a table the
-    plan cannot bound. broadcast_ok=False suppresses the hint entirely.
+    Exactness contract (the oracle hashes these results): BLAS sums in
+    a different order than the Catalyst/DuckDB left fold, so the matmul
+    distances are only used to NOMINATE candidates — every centroid
+    within a per-row margin that provably over-covers the float64
+    error bound (see below). Rows with a single nominee are decided (the
+    true arg-min is always nominated); rows with several recompute the
+    exact left-fold distance per nominee and take the lexicographic
+    (d2, centroid_id) min — bit-identical tie-breaks to the old plan.
+
+    Margin bound: each of the three dot products errs by at most
+    64 * eps * sum|terms| <= 64 * eps * 2(|v|^2 + |c|^2_max); the margin
+    1e-10 * (1 + |v|^2 + |c|^2_max) exceeds twice that by ~3 orders of
+    magnitude, and an over-wide margin only costs extra exact rechecks,
+    never a wrong answer.
+
+    Scale shape (100 TB): per-task work is (rows-in-task x k x dim)
+    BLAS; no shuffle at all. In deployment the assignment is then
+    materialized partitioned BY centroid_id for partition-pruned probe
+    reads. k stays bounded by the stride contract (stride=None derives
+    k <= k_target); a fixed stride on a growing corpus is capped loudly
+    at MAX_COLLECTED_CENTROIDS instead of OOMing the driver.
+    broadcast_ok is retained for API compatibility (the join it hinted
+    no longer exists).
 
     Pass `centroids` (a precomputed/refined ivf_centroids-shaped table,
     e.g. from lloyd_refine) to assign against those instead of the
     sampled ones."""
+    import numpy as np
+
     if stride is None:
         stride = derive_ivf_stride(df, k_target, id_col)
-        bounded = True
-    else:
-        bounded = False
-    if broadcast_ok is not None:
-        bounded = broadcast_ok
-    cents = (centroids if centroids is not None
-             else ivf_centroids(df, stride, id_col, vec_col))
-    if bounded:
-        cents = F.broadcast(cents)
-    d2 = _l2sq_expr(vec_col, "_cvec")
-    return (df.crossJoin(cents)
-            .withColumn("_d2", F.expr(d2))
-            .groupBy(id_col)
-            .agg(F.min(F.struct(F.col("_d2").alias("d"),
-                                F.col("centroid_id").alias("c")))
-                 .alias("_m"))
-            .select(F.col(id_col),
-                    F.col("_m.c").alias("centroid_id")))
+    cents_df = (centroids if centroids is not None
+                else ivf_centroids(df, stride, id_col, vec_col))
+    # limit() bounds the driver-side collect by construction; it is the
+    # identity whenever k is within the documented cap
+    rows = (cents_df.select("centroid_id", "_cvec")
+            .limit(MAX_COLLECTED_CENTROIDS + 1).collect())
+    if len(rows) > MAX_COLLECTED_CENTROIDS:
+        raise ValueError(
+            f"ivf_assign: > {MAX_COLLECTED_CENTROIDS} centroids; use "
+            f"stride=None (k_target bounds k) for corpora this large")
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, centroid_id {id_t}"
+    narrow = df.select(id_col, vec_col)
+    if not rows:
+        # no centroids -> empty result (the old crossJoin semantics)
+        return narrow.mapInArrow(lambda it: iter(()), out_schema)
+    order = sorted(range(len(rows)), key=lambda i: rows[i][0])
+    cids = np.asarray([rows[i][0] for i in order])
+    C = np.asarray([list(rows[i][1]) for i in order], dtype=np.float64)
+    CT = np.ascontiguousarray(C.T)
+    nc = np.einsum("ij,ij->i", C, C)
+    nc_max = float(nc.max())
+
+    def assign_batches(batches):
+        import pyarrow as pa
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            V = _arrow_list_matrix(batch.column(1))
+            nv = np.einsum("ij,ij->i", V, V)
+            D = nv[:, None] + nc[None, :] - 2.0 * (V @ CT)
+            best = D.argmin(axis=1)
+            m = D[np.arange(len(D)), best]
+            margin = 1e-10 * (1.0 + np.abs(nv) + nc_max)
+            cand = D <= (m + margin)[:, None]
+            multi = np.flatnonzero(cand.sum(axis=1) > 1)
+            for i in multi:
+                js = np.flatnonzero(cand[i])
+                best_key = None
+                for j in js:
+                    key = (_exact_l2sq(V[i], C[j]), cids[j])
+                    if best_key is None or key < best_key:
+                        best_key, best[i] = key, j
+            out_c = pa.array(cids[best], type=ids.type)
+            yield pa.RecordBatch.from_arrays([ids, out_c],
+                                             [id_col, "centroid_id"])
+
+    return narrow.mapInArrow(assign_batches, out_schema)
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,

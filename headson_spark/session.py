@@ -4,6 +4,46 @@ from __future__ import annotations
 
 import os
 
+# read_widened gate: inputs at or above this size keep the plain scan
+# (they already split into enough tasks); only tiny inputs pay the ~free
+# re-spread exchange. 256 MB at 128 MB maxPartitionBytes = at most 2
+# scan tasks wasted before the gate stops firing.
+WIDEN_MAX_BYTES = 256 << 20
+
+
+def read_widened(spark, path: str, max_bytes: int = WIDEN_MAX_BYTES):
+    """Read a parquet table, restoring scan parallelism for tiny inputs.
+
+    Parquet row groups are the unit of split assignment (each scan task
+    reads the row groups whose midpoint falls in its byte range), so a
+    single-row-group file scans as ONE task no matter how many byte-range
+    splits Spark creates — every pre-shuffle expression then runs on one
+    core (guide §2.5 input skew / §6 input split size). The driver's sf
+    tables are written exactly like that: one file, one row group. A
+    round-robin repartition of a <= max_bytes input is a near-free
+    exchange that restores full parallelism; at deployment scale (many
+    files / many row groups, well past the gate) this is a no-op, so no
+    shuffle is ever added to a large scan.
+
+    ONLY safe for queries whose results are partitioning-invariant:
+    row-local maps, integer/min/max/count aggregates, joins and windows
+    with deterministic tie-breaks. Order-dependent float sums (their
+    partial-aggregation tree changes with partitioning) must keep the
+    plain read."""
+    df = spark.read.parquet(path)
+    try:
+        if os.path.isfile(path):
+            nbytes = os.path.getsize(path)
+        else:
+            nbytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path) for f in fs)
+    except OSError:
+        return df
+    if nbytes >= max_bytes:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 
 def get_spark(app: str = "headson_spark", master: str | None = None,
               shuffle_partitions: int | None = None, extra: dict | None = None):

@@ -214,6 +214,11 @@ def transcripts_from_events(spark, sf_dir: str):
     (conv = user_id, turn = event ordinal by ts): lets correctness queries
     run against the shared /root/testdata parquet with a DuckDB oracle."""
     from pyspark.sql import functions as F, Window
+    # NOT widened (round-6 measurement): the very next operator is the
+    # user_id window's own exchange, so the single-row-group scan task
+    # only projects + shuffle-writes — a read_widened repartition would
+    # ADD a single-task sort+exchange in front of the exchange the plan
+    # already pays (measured: conv_assemble 1.3 s -> 3.1 s at sf1.0).
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (ev.select(

@@ -79,10 +79,12 @@ def test_salted_tail_prereduce_equivalent(spark, tdf):
     assert merged == direct
 
 
-def test_ivf_assign_plan_broadcasts_centroids(spark):
-    """IVF assignment: the k-row centroid table must broadcast (no wide
-    shuffle for the cross join) and the arg-min aggregation must partial-
-    aggregate map-side — the exchange carries one row per vector."""
+def test_ivf_assign_plan_is_shuffle_free_map(spark):
+    """IVF assignment (round-6 form): the k-row centroid table rides
+    inside a mapInArrow closure and each Arrow batch computes its
+    distance matrix with BLAS, so the plan must contain NO exchange at
+    all (the old crossJoin's broadcast and the arg-min aggregation's
+    shuffle both disappear) and exactly one Python boundary node."""
     from headson_spark.operators.similarity import ivf_assign
     # the shared-session suite may have pinned an identical ivf_assign
     # plan via __spark_entry__._ivf_index's .cache(); Spark would then
@@ -92,7 +94,30 @@ def test_ivf_assign_plan_broadcasts_centroids(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     df = ivf_assign(emb, stride=32)
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "partial_min" in plan or "HashAggregate" in plan, plan
-    # exactly one wide exchange (the final agg); broadcast doesn't count
-    assert count_exchanges(df) <= 1, plan
+    assert count_exchanges(df) == 0, plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+    # column pruning must reach the scan: only (vec_id, embedding) read
+    assert "label" not in plan.split("ReadSchema")[1].split("\n")[0], plan
+
+
+def test_ivf_assign_numpy_matches_catalyst_fold(spark):
+    """The BLAS + exact-margin-recheck assignment must reproduce the old
+    crossJoin + Catalyst left-fold arg-min bit-for-bit (same arg-min,
+    same (d2, centroid_id) tie-break)."""
+    from pyspark.sql import functions as F
+    from headson_spark.operators.similarity import (_l2sq_expr, ivf_assign,
+                                                    ivf_centroids)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign(emb, stride=32).collect()}
+    cents = F.broadcast(ivf_centroids(emb, 32))
+    d2 = _l2sq_expr("embedding", "_cvec")
+    ref = (emb.crossJoin(cents)
+           .withColumn("_d2", F.expr(d2))
+           .groupBy("vec_id")
+           .agg(F.min(F.struct(F.col("_d2").alias("d"),
+                               F.col("centroid_id").alias("c")))
+                .alias("_m"))
+           .select("vec_id", F.col("_m.c").alias("centroid_id")))
+    exp = {r["vec_id"]: r["centroid_id"] for r in ref.collect()}
+    assert got == exp
