@@ -74,21 +74,44 @@ def test_hashmin_warns_when_not_converged(spark):
     RuntimeWarning instead of silently returning non-minimal labels."""
     import warnings
     from headson_spark.operators.dedup import hashmin_components
-    # path 0-1-2-...-9: min label needs ~9 rounds to reach node 9
+    # path 0-1-2-...-9: min label needs ~9 rounds to reach node 9.
+    # driver_gate_edges=0 forces the distributed HashMin loop (the
+    # round-6 driver union-find gate would otherwise solve this small
+    # graph exactly with no iteration at all).
     pairs = spark.createDataFrame([(i, i + 1) for i in range(9)],
                                   "id_a int, id_b int")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        hashmin_components(pairs, max_iter=2).collect()
+        hashmin_components(pairs, max_iter=2, driver_gate_edges=0).collect()
     assert any("did not converge" in str(x.message) for x in w), \
         [str(x.message) for x in w]
     # and with enough rounds it converges warning-free to the min label
     with warnings.catch_warnings(record=True) as w2:
         warnings.simplefilter("always")
         lbl = {r["node"]: r["lbl"]
-               for r in hashmin_components(pairs, max_iter=30).collect()}
+               for r in hashmin_components(
+                   pairs, max_iter=30, driver_gate_edges=0).collect()}
     assert not any("did not converge" in str(x.message) for x in w2)
     assert set(lbl.values()) == {0}
+
+
+def test_hashmin_driver_gate_matches_distributed(spark):
+    """The round-6 union-find fast path must produce the identical
+    (node, lbl) rows as the distributed HashMin loop, including on
+    multi-component graphs with chains and cliques."""
+    from headson_spark.operators.dedup import hashmin_components
+    edges = ([(i, i + 1) for i in range(5, 12)]          # chain 5..12
+             + [(20, 21), (21, 22), (20, 22)]            # triangle
+             + [(40, 41)]                                # pair
+             + [(3, 50), (50, 2)])                       # min via hub
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["node"], r["lbl"])
+            for r in hashmin_components(pairs).collect()}
+    slow = {(r["node"], r["lbl"])
+            for r in hashmin_components(
+                pairs, driver_gate_edges=0).collect()}
+    assert fast == slow
+    assert fast  # non-empty
 
 
 def test_contamination_check_semantics(spark):
