@@ -27,6 +27,12 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+# NOTE: Java \s+ (Spark) and RE2 \s+ (the DuckDB oracle) differ on
+# exotic whitespace (U+000B, Unicode spaces). The driver fixtures are
+# ASCII-space-only, so both engines tokenize identically there; pin an
+# explicit class like [ \t\n\r\f]+ on BOTH sides before feeding text
+# that may contain such characters (the oracle SQL text is frozen for
+# this round, so the fixture guarantee is the operative contract).
 WS_TOKEN_PATTERN = "\\s+"
 
 

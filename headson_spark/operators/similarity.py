@@ -228,7 +228,12 @@ def lloyd_refine(df: DataFrame, stride: int | None = 32,
     centroids: n_iters rounds of assign-to-nearest + recompute-as-mean.
     Improves inverted-list balance (hence recall at a given n_probe) at
     the same downstream plan shape — the refined table drops into
-    ivf_assign/ivf_topk via their `centroids` parameter.
+    ivf_assign via its `centroids` parameter (ivf_topk has no such
+    parameter: it ranks probes against the deterministic sampled
+    centroids, so pass a refined ASSIGNMENT only together with probe
+    selection you computed against the same refined centroids, or the
+    probe ranking and the inverted lists disagree and recall silently
+    degrades).
 
     Plan per iteration: the assignment crossJoin (same broadcast
     discipline as ivf_assign) -> posexplode the vector (one narrow

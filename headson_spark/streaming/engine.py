@@ -339,7 +339,14 @@ def _bucket_encode(convs: dict) -> bytes:
     raw bytes (no 4/3 base64 inflation) and encode/decode drop the
     per-field JSON text scan, which was measurable per micro-batch at
     512 buckets. State blobs never leave the state store, so pickle's
-    python-only format is fine here (the SINK stays parquet)."""
+    python-only format is fine here (the SINK stays parquet).
+
+    SECURITY: pickle.loads executes attacker-chosen code, so unlike the
+    old JSON format a tampered checkpoint/state directory compromises
+    the executors on resume. Checkpoint dirs must be trusted (ACL'd to
+    the job owner) — which Spark effectively requires anyway, since its
+    own state/offset files are integrity-unprotected, but the blast
+    radius here is code execution, not just wrong answers."""
     import pickle
     return pickle.dumps(convs, protocol=5)
 

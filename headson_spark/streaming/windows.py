@@ -123,6 +123,15 @@ def rolling_previews(stream_df, *, window: str = "5 minutes",
     pushdown; "tail" kept-ness depends on the conversation length, which
     a single declarative streaming aggregation cannot know pre-agg — use
     the stateful session engine (streaming/engine.py) for tail skew.
+
+    Mid-conversation window caveat: kept-ness is a function of ABSOLUTE
+    turn position, so a window that only delivers turns past the keep-
+    set range (routine for sliding windows that open mid-conversation)
+    renders a (near-)empty preview while its n_turns stays > 0 — by
+    design, the preview shows the sampler's keep-set, nothing else.
+    Positions >= 1<<20 (default_kept_positions' max_len) are never
+    kept for the same reason. Where whole-conversation previews per
+    window matter, use the stateful session engine instead.
     """
     from ..operators.sampling import default_kept_positions
 
