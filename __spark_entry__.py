@@ -301,23 +301,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def asof_latest_event(spark, sf_dir):
         """Forward as-of join: for each order, the user's FIRST event at
         or after the order date (pandas merge_asof direction='forward').
-        Explicit window formulation, not engine-native ASOF, so both
-        engines compute identical tie-breaks. Forward direction because
-        the synthetic event timestamps (2024) all post-date the order
-        dates (1995-2001) — the backward variant is vacuously empty."""
-        from pyspark.sql import Window
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        Forward direction because the synthetic event timestamps (2024)
+        all post-date the order dates (1995-2001) — the backward variant
+        is vacuously empty.
+
+        Round 6 (guide §2.3 "aggregate before you shuffle"): the row_
+        number window shuffled + sorted the FULL range-join output
+        (~15 rows per order at sf1.0) across millions of one-order
+        partitions; min(struct(ts, event_id, ...)) computes the same
+        winner — lexicographic struct min == ORDER BY ts ASC, event_id
+        ASC tie-break, and (ts, event_id) is unique so trailing fields
+        never drive the comparison — with MAP-SIDE partial aggregation:
+        the exchange carries one row per order instead of the whole
+        join output, and the per-partition sort disappears. All
+        compared fields are timestamps/ints (no float ordering), so the
+        result is identical row-for-row (oracle-hash green).
+        5.9 s -> 1.5 s at sf1.0."""
+        from headson_spark.session import read_widened
+        # widen both single-row-group scans: the broadcast join keeps
+        # the stream side's partitioning, so an unwidened scan runs the
+        # whole range-join fan-out + partial aggregation on ONE task.
+        # Partition-safe: min/max(struct(...)) over timestamps/ints is
+        # an exact associative-commutative aggregate.
+        o = read_widened(spark, f"{sf_dir}/orders.parquet")
+        ev = read_widened(spark, f"{sf_dir}/events.parquet")
         j = (o.join(ev, (o.o_custkey == ev.user_id)
                     & (ev.ts >= F.col("o_orderdate").cast("timestamp")))
              .select("o_orderkey", "o_custkey", "event_id", "ts",
                      "event_type"))
-        w = Window.partitionBy("o_orderkey").orderBy(
-            F.asc("ts"), F.asc("event_id"))
-        return (j.withColumn("_rn", F.row_number().over(w))
-                .filter("_rn = 1")
-                .select("o_orderkey", "o_custkey", "event_id",
-                        "event_type"))
+        return (j.groupBy("o_orderkey", "o_custkey")
+                .agg(F.min(F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("event_type").alias("y"))).alias("_m"))
+                .select("o_orderkey", "o_custkey",
+                        F.col("_m.e").alias("event_id"),
+                        F.col("_m.y").alias("event_type")))
     q["asof_latest_event"] = asof_latest_event
 
     def rollup_pricing(spark, sf_dir):
@@ -331,20 +350,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Backward as-of join (merge_asof direction='backward'): for
         each event, the user's LATEST order at or before the event time.
         Non-vacuous in this corpus because every order (1995-2001)
-        precedes every event (2024). Window formulation so both engines
-        tie-break identically (latest date, then highest key)."""
-        from pyspark.sql import Window
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        precedes every event (2024). Tie-break: latest date, then
+        highest key.
+
+        Round 6: same argmax-by-struct rewrite as asof_latest_event —
+        max(struct(o_orderdate, o_orderkey)) == ORDER BY o_orderdate
+        DESC, o_orderkey DESC winner (unique key => deterministic; all
+        compared fields date/int, no float ordering), with map-side
+        partial aggregation replacing the million-partition window
+        sort. Every event joins ~all of its user's prior orders, so the
+        pre-aggregate collapse is ~15x fewer shuffled rows at sf1.0 and
+        grows with order history at scale. 11.5 s -> 2.7 s at sf1.0."""
+        from headson_spark.session import read_widened
+        # widened for the same stream-side-parallelism reason as
+        # asof_latest_event above
+        o = read_widened(spark, f"{sf_dir}/orders.parquet")
+        ev = read_widened(spark, f"{sf_dir}/events.parquet")
         j = (ev.join(o, (ev.user_id == o.o_custkey)
                      & (F.col("o_orderdate").cast("timestamp") <= ev.ts))
              .select("event_id", "user_id", "o_orderkey", "o_orderdate"))
-        w = Window.partitionBy("event_id").orderBy(
-            F.desc("o_orderdate"), F.desc("o_orderkey"))
-        return (j.withColumn("_rn", F.row_number().over(w))
-                .filter("_rn = 1")
-                .select("event_id", "user_id", "o_orderkey",
-                        F.col("o_orderdate").cast("string")
+        return (j.groupBy("event_id", "user_id")
+                .agg(F.max(F.struct(
+                    F.col("o_orderdate").alias("d"),
+                    F.col("o_orderkey").alias("k"))).alias("_m"))
+                .select("event_id", "user_id",
+                        F.col("_m.k").alias("o_orderkey"),
+                        F.col("_m.d").cast("string")
                          .alias("o_orderdate")))
     q["asof_backward"] = asof_backward
 
@@ -372,14 +403,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["range_band_join"] = range_band_join
 
     def price_percentiles(spark, sf_dir):
+        """Round 6 split (was 13.8 s at sf1.0, the slowest registry
+        row): stddev_pop merges are order-DEPENDENT floats, so its
+        subtree keeps the original unwidened scan + aggregation tree
+        (bit-identical partials); the exact percentiles are order-
+        INDEPENDENT (value->count map, sorted before interpolation), so
+        that subtree widens the single-row-group scan AND fuses both
+        quantiles into one percentile(col, array(0.5, 0.95)) buffer —
+        the two scalar percentile() calls each ingested the full column
+        into their own value map. Joined back on the 3-row group key;
+        identical output (oracle-hash green). 13.8 s -> 3.1 s."""
+        from headson_spark.session import read_widened
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        return (li.groupBy("l_returnflag")
-                .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
-                      .alias("p50"),
-                     F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4)
-                      .alias("p95"),
-                     F.round(F.stddev_pop("l_extendedprice"), 4)
-                      .alias("stddev")))
+        std = (li.groupBy("l_returnflag")
+               .agg(F.round(F.stddev_pop("l_extendedprice"), 4)
+                    .alias("stddev")))
+        li_w = read_widened(spark, f"{sf_dir}/lineitem.parquet")
+        pct = (li_w.groupBy("l_returnflag")
+               .agg(F.expr("percentile(l_extendedprice, "
+                           "array(0.5D, 0.95D))").alias("_p")))
+        return (pct.join(std, "l_returnflag")
+                .select("l_returnflag",
+                        F.round(F.col("_p")[0], 4).alias("p50"),
+                        F.round(F.col("_p")[1], 4).alias("p95"),
+                        "stddev"))
     q["price_percentiles"] = price_percentiles
 
     def event_time_buckets(spark, sf_dir):

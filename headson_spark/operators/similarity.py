@@ -135,9 +135,9 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        ids = pdf.iloc[:, 0].tolist()
+        ids = pdf[id_col].tolist()
         V = np.asarray([np.asarray(v, dtype=np.float64)
-                        for v in pdf.iloc[:, 1]])
+                        for v in pdf[vec_col]])
         nv = np.sqrt(np.einsum("ij,ij->i", V, V))
         with np.errstate(divide="ignore", invalid="ignore"):
             C = (V @ V.T) / np.outer(nv, nv)
