@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    nb = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    nb = (None if len(sys.argv) > 1 and sys.argv[1] in ("none", "0")
+      else int(sys.argv[1]) if len(sys.argv) > 1 else 512)
     policy = sys.argv[2] if len(sys.argv) > 2 else "on_change"
     mfpt = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     import pyarrow.dataset as ds
