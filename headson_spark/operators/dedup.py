@@ -145,19 +145,67 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                .union(pairs.select(F.col("id_b").alias(id_col)))
                .distinct())
     pruned = df.join(members, id_col, "left_semi")
-    sh = pruned.select(
-        F.col(id_col),
-        F.expr(_shingles_expr(text_col, shingle_k)).alias("sh"))
+    texts = pruned.select(F.col(id_col), F.col(text_col).alias("_t"))
     j = (pairs
-         .join(sh.withColumnRenamed(id_col, "id_a")
-                 .withColumnRenamed("sh", "sh_a"), "id_a")
-         .join(sh.withColumnRenamed(id_col, "id_b")
-                 .withColumnRenamed("sh", "sh_b"), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return j.select(
+         .join(texts.withColumnRenamed(id_col, "id_a")
+                    .withColumnRenamed("_t", "_ta"), "id_a")
+         .join(texts.withColumnRenamed(id_col, "id_b")
+                    .withColumnRenamed("_t", "_tb"), "id_b"))
+
+    # Set sizes are exact INTEGERS, so they can be computed with Python
+    # set ops in a mapInPandas kernel (guide §4.2) instead of the
+    # per-pair Catalyst array_intersect/array_union over ~len(norm)
+    # element arrays, and the final double — round(inter / union, 6) —
+    # is still produced by the ORIGINAL Spark expression below, so the
+    # emitted values are bit-identical by construction. The Python
+    # shingling mirrors _shingles_expr exactly: after
+    # lower + [^a-z0-9]+ -> ' ' + trim, the normalized text is pure
+    # ASCII [a-z0-9 ], where Python slicing == Java substring; the
+    # index set range(0, max(len-k+1, 1)) == sequence(1,
+    # greatest(len-k+1, 1)) including the short-string (whole-text
+    # shingle) and empty-string cases. 5.0 s -> sub-second at sf1.0
+    # (55k docs / 7.9k pairs).
+    import re as _re
+
+    k = shingle_k
+    id_a_t = pairs.schema["id_a"].dataType.simpleString()
+    id_b_t = pairs.schema["id_b"].dataType.simpleString()
+    out_schema = (f"id_a {id_a_t}, id_b {id_b_t}, "
+                  f"_inter int, _union int")
+    strip = _re.compile("[^a-z0-9]+")
+
+    def shingle_set(text):
+        norm = strip.sub(" ", (text or "").lower()).strip()
+        return {norm[i:i + k]
+                for i in range(max(len(norm) - k + 1, 1))}
+
+    def counts(pdfs):
+        import pandas as pd
+        for pdf in pdfs:
+            cache: dict = {}
+
+            def sset(doc_id, text):
+                s = cache.get(doc_id)
+                if s is None:
+                    s = cache[doc_id] = shingle_set(text)
+                return s
+
+            inter, union = [], []
+            for a, b, ta, tb in zip(pdf["id_a"], pdf["id_b"],
+                                    pdf["_ta"], pdf["_tb"]):
+                sa, sb = sset(a, ta), sset(b, tb)
+                inter.append(len(sa & sb))
+                union.append(len(sa | sb))
+            yield pd.DataFrame({"id_a": pdf["id_a"],
+                                "id_b": pdf["id_b"],
+                                "_inter": inter, "_union": union})
+
+    c = j.select("id_a", "id_b", "_ta", "_tb").mapInPandas(counts,
+                                                           out_schema)
+    return c.select(
         "id_a", "id_b",
-        F.round(inter.cast("double") / union, 6).alias("jaccard"))
+        F.round(F.col("_inter").cast("double") / F.col("_union"), 6)
+         .alias("jaccard"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
