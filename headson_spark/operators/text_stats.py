@@ -132,47 +132,90 @@ def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
     key robust to formatting noise; `win_fp` = the MINIMUM hash over all
     `window`-length character windows (winnowing-style) — shift-invariant,
     so a document with content inserted at the front keeps the same
-    win_fp as long as the minimizing window survives. Pure integer column
-    expressions (left-fold, wrap-free by modulus choice), bit-identical
-    in the DuckDB oracle; cost is O(len·window) inside whole-stage
-    codegen — no Python, no shuffle."""
-    norm = (f"trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' '))")
-    # STAGE both intermediates: a lambda body is re-instantiated per
-    # element (no CSE across higher-order functions — the simhash
-    # lesson), so norm-inside-the-lambda would re-run the regexp O(len)
-    # times, and substring(s, i, 1) is an O(i) scan making per-index
-    # char extraction O(len^2); split('') extracts every char in one
-    # pass (measured: 18.4 s -> 1.7 s at sf0.1 together with the O(len)
-    # rolling update below).
-    codes = "transform(split(_norm, ''), c -> cast(ascii(c) as bigint))"
-    staged = (df.withColumn("_norm", F.expr(norm))
-                .withColumn("_codes", F.expr(codes)))
-    fold = (f"(acc, c) -> (acc * {RH_BASE} + c) % {RH_MOD}")
-    doc_fp = f"aggregate(_codes, 0L, {fold})"
-    # win_fp via the classic O(len) rolling update — drop the outgoing
-    # char, shift, add the incoming one:
-    #   h' = ((h - c_out*B^(w-1)) * B + c_in) mod M
-    # (a naive per-window refold is O(len*window) and measured 18 s at
-    # sf0.1 vs <1 s for this form; bit-identical by modular arithmetic,
-    # which is why the DuckDB oracle can keep the straightforward
-    # windowed refold). All intermediates stay under 2^63:
-    # 2M*B ~ 4.6e18 < 9.2e18.
-    bw1 = pow(RH_BASE, window - 1, RH_MOD)
-    init_h = f"aggregate(slice(_codes, 1, {window}), 0L, {fold})"
-    new_h = (f"((acc.h + {RH_MOD} - element_at(_codes, i - {window}) "
-             f"* {bw1}L % {RH_MOD}) % {RH_MOD} * {RH_BASE} "
-             f"+ element_at(_codes, i)) % {RH_MOD}")
-    win_fp = (f"case when size(_codes) > {window} then "
-              f"aggregate(sequence({window + 1}, size(_codes)), "
-              f"named_struct('h', {init_h}, 'mn', {init_h}), "
-              f"(acc, i) -> named_struct('h', {new_h}, "
-              f"'mn', least(acc.mn, {new_h})), "
-              f"acc -> acc.mn) else {init_h} end")
-    return staged.select(
-        F.col(id_col),
-        F.expr(doc_fp).alias("doc_fp"),
-        F.expr(win_fp).alias("win_fp"),
-        F.expr("length(_norm)").cast("int").alias("norm_len"))
+    win_fp as long as the minimizing window survives.
+
+    Round 6 (guide §4.2): computed in a mapInPandas numpy kernel instead
+    of the round-4 Catalyst fold. Both fingerprints are EXACT modular
+    integers — c_i are ASCII codes of the normalized text (pure
+    [a-z0-9 ] after lower + strip, where Python bytes == Java ascii()),
+    and every window hash is the well-defined residue
+    sum(c_j * B^(i+w-1-j)) mod M — so ANY correct evaluation strategy is
+    bit-identical; there is no float-ordering concern at all. The numpy
+    form evaluates all window hashes from the direct polynomial
+    (sliding_window_view x precomputed powers, products reduced mod M
+    before an overflow-safe chunked sum), which vectorizes the entire
+    per-document O(len*window) work in C. The Catalyst fold kept the
+    named_struct-per-element rolling update whose allocation cost
+    dominated the row (2.6-3.6 s at sf1.0 -> ~1.0 s). The DuckDB oracle
+    keeps its straightforward windowed refold — equal residues by
+    modular arithmetic (oracle-verified at sf0.001/0.01/0.1).
+
+    Overflow accounting (int64): c*B^j products are <= 255 * (M-1)
+    ~ 2.3e18 < 2^63 before their mod; the mod-reduced terms (< M ~
+    9e15) sum in chunks of 512 (< 4.6e18 < 2^63) with a mod between
+    chunks. doc_fp uses the same polynomial form over the whole
+    document."""
+    import re as _re
+
+    import numpy as np
+
+    strip = _re.compile("[^a-z0-9]+")
+    B, M, W = RH_BASE, RH_MOD, window
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_t}, doc_fp bigint, win_fp bigint, "
+                  f"norm_len int")
+
+    def _mod_sum_last(prods: "np.ndarray") -> "np.ndarray":
+        # sum of mod-reduced int64 terms (last axis) without overflow:
+        # partial sums of <=512 terms (each < M ~ 9e15) stay under 2^62
+        total = np.zeros(prods.shape[:-1], dtype=np.int64)
+        for s in range(0, prods.shape[-1], 512):
+            total = (total + prods[..., s:s + 512].sum(axis=-1)) % M
+        return total
+
+    def fp_one(norm_bytes: bytes) -> tuple:
+        c = np.frombuffer(norm_bytes, dtype=np.uint8).astype(np.int64)
+        n = len(c)
+        if n == 0:
+            return 0, 0, 0
+        # doc_fp: Horner fold (h*B + c_i) mod M — h*B+c < M*257 < 2^63
+        pw_n = _POWERS_CACHE(n)
+        doc_fp = int(_mod_sum_last((c * pw_n[n - 1::-1]) % M))
+        if n <= W:
+            return doc_fp, doc_fp, n
+        wins = np.lib.stride_tricks.sliding_window_view(c, W)
+        win_h = _mod_sum_last((wins * pw_n[W - 1::-1]) % M)
+        return doc_fp, int(win_h.min()), n
+
+    # powers of B mod M, grown on demand and cached per python worker
+    _pcache: dict = {}
+
+    def _POWERS_CACHE(n: int) -> "np.ndarray":
+        p = _pcache.get("p")
+        if p is None or len(p) < n:
+            size = max(n, 4096)
+            out = np.empty(size, dtype=np.int64)
+            out[0] = 1
+            for i in range(1, size):
+                out[i] = (out[i - 1] * B) % M
+            p = _pcache["p"] = out
+        return p
+
+    def fp_batches(pdfs):
+        import pandas as pd
+        for pdf in pdfs:
+            ids, dfs_, wfs, lens = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                norm = strip.sub(" ", (t or "").lower()).strip()
+                d, w, ln = fp_one(norm.encode("ascii"))
+                ids.append(i)
+                dfs_.append(d)
+                wfs.append(w)
+                lens.append(ln)
+            yield pd.DataFrame({id_col: ids, "doc_fp": dfs_,
+                                "win_fp": wfs, "norm_len": lens})
+
+    return df.select(id_col, text_col).mapInPandas(fp_batches, out_schema)
 
 
 def top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
