@@ -77,25 +77,59 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     (a_j * x + b_j) mod P, x = md5-derived shingle integer. One md5 per
     shingle total (not per hash function) — the dominant cost at scale.
 
-    Staged through intermediate columns so tokenization / shingling / md5
-    evaluate once per row instead of once per lambda reference.
-    """
-    staged = (df
-              .select(F.col(id_col), F.col(text_col))
-              .withColumn("_toks", F.expr(
-                  f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
-                  f"x -> x != '')"))
-              .withColumn("_sh", F.expr(
-                  f"array_distinct(transform(sequence(1, "
-                  f"greatest(size(_toks) - {shingle_k - 1}, 1)), "
-                  f"i -> array_join(slice(_toks, i, {shingle_k}), ' ')))"))
-              .withColumn("_xs", F.expr(_shingle_int_expr("_sh"))))
-    cols = [F.col(id_col)]
-    for j, (a, b) in enumerate(minhash_params(n_hashes)):
-        cols.append(F.expr(
-            f"array_min(transform(_xs, x -> "
-            f"(x * {a}L + {b}L) % {MINHASH_P}))").alias(f"mh{j}"))
-    return staged.select(*cols)
+    Round 6 (guide §4.2): computed in a mapInPandas kernel — hashlib's
+    C md5 per shingle plus one numpy (n_shingles x n_hashes) modular
+    broadcast per document replaces the staged Catalyst
+    transform/array_min chain, which was ~60% of the lsh_pairs row at
+    sf1.0. Every value is an EXACT integer (md5 is md5 everywhere;
+    int(hex[:15], 16) % P and (a*x + b) % P are exact int64 — products
+    < P^2 ~ 4.6e18 < 2^63), so any correct evaluation is bit-identical;
+    the tokenization mirrors the Catalyst expression on the same
+    grounds as ngram_jaccard_pairs (tokens are pure ASCII [a-z0-9]+
+    after lower + split; empty-token docs produce the single ''
+    shingle exactly like array_join(slice([], ..), ' ')). Min over the
+    DISTINCT shingle set equals min over the multiset, so a Python set
+    stands in for array_distinct. Oracle-verified (lsh_pairs /
+    near_dup_clusters) at sf0.001/0.01/0.1."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    params = minhash_params(n_hashes)
+    A = np.asarray([a for a, _ in params], dtype=np.int64)
+    Bv = np.asarray([b for _, b in params], dtype=np.int64)
+    P = MINHASH_P
+    w = shingle_k
+    split_re = _re.compile("[^a-z0-9]+")
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = ", ".join([f"{id_col} {id_t}"]
+                           + [f"mh{j} bigint" for j in range(n_hashes)])
+
+    def sig_batches(pdfs):
+        import pandas as pd
+        for pdf in pdfs:
+            ids = pdf[id_col].tolist()
+            out = np.empty((len(ids), n_hashes), dtype=np.int64)
+            for r, t in enumerate(pdf[text_col]):
+                toks = [x for x in split_re.split((t or "").lower())
+                        if x != ""]
+                n = len(toks)
+                sh = {" ".join(toks[i:i + w])
+                      for i in range(max(n - w + 1, 1))}
+                xs = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                     % P for s in sh),
+                    dtype=np.int64, count=len(sh))
+                out[r] = ((xs[:, None] * A[None, :] + Bv[None, :]) % P
+                          ).min(axis=0)
+            data = {id_col: ids}
+            for j in range(n_hashes):
+                data[f"mh{j}"] = out[:, j]
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, text_col).mapInPandas(sig_batches,
+                                                   out_schema)
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
